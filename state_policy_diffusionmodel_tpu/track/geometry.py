@@ -1,0 +1,108 @@
+"""Device-side track geometry: a padded pytree + vectorized spatial queries.
+
+Replaces the Box2D sensor-tile machinery (`FrictionDetector`,
+`/root/reference/envs/car_racing.py:89-126`) with closed-form
+nearest-centerline-segment math: tile membership, per-wheel friction limits
+and the visited-tile reward all derive from one masked argmin over the padded
+segment array.  Everything vmaps over a batch of envs and lives in HBM.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import generator, texture
+from .generator import MAX_TRACK_PTS, PLAYFIELD, TRACK_WIDTH, Track
+
+
+class TrackGeometry(NamedTuple):
+    """Per-track device arrays (stack leading axis for a batch of envs)."""
+
+    seg_a: jax.Array        # (P, 2) segment/tile start points (= xy[(i-1)%n])
+    seg_b: jax.Array        # (P, 2) segment/tile end points   (= xy[i])
+    beta: jax.Array         # (P,) centerline heading at point i
+    valid: jax.Array        # (P,) bool, i < n
+    n: jax.Array            # () int32 number of tiles
+    start: jax.Array        # (3,) car start (angle, x, y)
+    tex: jax.Array          # (T, T, 2) uint8 palette texture [base, lane]
+
+
+def build(track: Track, tex_size: int = texture.DEFAULT_TEX,
+          bake: bool = True) -> TrackGeometry:
+    """Build device geometry from a host-generated Track."""
+    n = track.n
+    xy = track.xy.copy()
+    # valid wraparound for segment starts; padded tail repeats the last point
+    prev = np.zeros_like(xy)
+    prev[:n] = np.roll(xy[:n], 1, axis=0)
+    prev[n:] = xy[max(n - 1, 0)]
+    xy[n:] = xy[max(n - 1, 0)]
+    if bake:
+        tex = texture.bake_texture(track, tex_size)
+    else:
+        tex = np.zeros((tex_size, tex_size, 2), np.uint8)
+    return TrackGeometry(
+        seg_a=jnp.asarray(prev),
+        seg_b=jnp.asarray(xy),
+        beta=jnp.asarray(track.beta),
+        valid=jnp.asarray(track.valid),
+        n=jnp.asarray(track.n, jnp.int32),
+        start=jnp.asarray(track.start),
+        tex=jnp.asarray(tex),
+    )
+
+
+def stack(tracks) -> TrackGeometry:
+    """Stack a list of TrackGeometry into a batch (leading axis)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *tracks)
+
+
+def nearest_segment(geom: TrackGeometry, p: jax.Array):
+    """Nearest centerline segment to point ``p`` (2,).
+
+    Returns (tile_idx, distance, lateral, tangent):
+      tile_idx: int32 index of the nearest tile/segment,
+      distance: unsigned distance to the segment,
+      lateral:  signed lateral offset (positive along +u = (cos b, sin b)),
+      tangent:  unit direction of travel along the segment.
+    """
+    a, b = geom.seg_a, geom.seg_b                      # (P,2)
+    d = b - a
+    l2 = jnp.maximum(jnp.sum(d * d, -1), 1e-12)
+    t = jnp.clip(jnp.sum((p - a) * d, -1) / l2, 0.0, 1.0)
+    closest = a + t[:, None] * d
+    delta = p - closest
+    dist2 = jnp.sum(delta * delta, -1)
+    dist2 = jnp.where(geom.valid, dist2, jnp.inf)
+    idx = jnp.argmin(dist2)
+    dist = jnp.sqrt(dist2[idx])
+    tangent = d[idx] / jnp.sqrt(l2[idx])
+    # lateral sign: cross(tangent, delta) > 0 means left of travel; the
+    # reference's +u offset direction is the right side of travel.
+    cross = tangent[0] * delta[idx][1] - tangent[1] * delta[idx][0]
+    lateral = jnp.where(cross > 0, -dist, dist)
+    return idx.astype(jnp.int32), dist, lateral, tangent
+
+
+def on_road(dist: jax.Array) -> jax.Array:
+    return dist <= TRACK_WIDTH
+
+
+def sample_texture(geom: TrackGeometry, p: jax.Array):
+    """Nearest-texel lookup of (base_idx, lane_idx) at world point(s) ``p``.
+
+    p: (..., 2) -> (base, lane) uint8 arrays of shape (...).
+    Outside the playfield returns (0, 0) (renderer paints the GL clear color).
+    """
+    tex_size = geom.tex.shape[0]
+    s = tex_size / (2.0 * PLAYFIELD)
+    ij = jnp.floor((p + PLAYFIELD) * s).astype(jnp.int32)
+    inb = jnp.all((ij >= 0) & (ij < tex_size), axis=-1)
+    ij = jnp.clip(ij, 0, tex_size - 1)
+    vals = geom.tex[ij[..., 0], ij[..., 1]]
+    vals = jnp.where(inb[..., None], vals, 0)
+    return vals[..., 0], vals[..., 1]
