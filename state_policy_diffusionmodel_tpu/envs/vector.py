@@ -1,0 +1,69 @@
+"""Vectorized env: vmap over a batch of tracks + lax.scan rollouts.
+
+This is the TPU-native replacement for the reference's serial single-env
+loops (e.g. `generateData/generateParallelTraj.py:24-85`): thousands of envs
+step and render inside one jit-compiled scan, with auto-reset.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..track.geometry import TrackGeometry
+from . import car_racing as env
+
+init_batch = jax.vmap(env.init)
+
+
+def reset_batch(geoms: TrackGeometry, render: bool = True):
+    return jax.vmap(partial(env.reset, render=render))(geoms)
+
+
+def step_batch(states, geoms, actions, render: bool = True):
+    """states/geoms/actions batched on the leading axis."""
+    return jax.vmap(
+        lambda s, g, a: env.step(s, g, a, render=render)
+    )(states, geoms, actions)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "render", "auto_reset"))
+def rollout_constant(states, geoms, actions, n_steps: int,
+                     render: bool = True, auto_reset: bool = True):
+    """Scan n_steps with a fixed per-env action. Returns final states and a
+    stacked (n_steps, B, ...) StepResult trajectory."""
+
+    def body(ss, _):
+        ss, res = step_batch(ss, geoms, actions, render=render)
+        if auto_reset:
+            ss = jax.vmap(env.auto_reset)(ss, geoms)
+        return ss, res
+
+    return jax.lax.scan(body, states, None, length=n_steps)
+
+
+def rollout_policy(states, geoms, policy: Callable, carry,
+                   n_steps: int, render: bool = True,
+                   auto_reset: bool = True):
+    """Scan a closed-loop policy: actions, carry = policy(carry, states, obs).
+
+    `policy` sees the batched previous StepResult (obs) and returns (B, 3)
+    actions plus its own carry (PID integrators, observation ring buffers...).
+    """
+
+    def body(c, _):
+        ss, pol_carry, prev_res = c
+        actions, pol_carry = policy(pol_carry, ss, prev_res)
+        ss, res = step_batch(ss, geoms, actions, render=render)
+        if auto_reset:
+            ss = jax.vmap(env.auto_reset)(ss, geoms)
+        return (ss, pol_carry, res), res
+
+    states, res0 = reset_batch(geoms, render=render)
+    (states, carry, _), traj = jax.lax.scan(
+        body, (states, carry, res0), None, length=n_steps
+    )
+    return states, carry, traj
