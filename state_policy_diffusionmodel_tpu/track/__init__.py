@@ -2,7 +2,10 @@ from .generator import (
     LANE_OFFSETS, MAX_TRACK_PTS, PLAYFIELD, TRACK_WIDTH, Track,
     lane_points, make_track, tile_quads,
 )
-from .geometry import TrackGeometry, build, nearest_segment, on_road, sample_texture, stack
+from .geometry import (
+    SegmentQuery, TrackGeometry, build, nearest_segment, on_road,
+    sample_texture, stack,
+)
 from .texture import BASE_PALETTE, LANE_PALETTE, bake_texture
 
 __all__ = [

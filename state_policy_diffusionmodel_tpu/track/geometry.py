@@ -61,15 +61,16 @@ def stack(tracks) -> TrackGeometry:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *tracks)
 
 
-def nearest_segment(geom: TrackGeometry, p: jax.Array):
-    """Nearest centerline segment to point ``p`` (2,).
+class SegmentQuery(NamedTuple):
+    idx: jax.Array      # int32 nearest tile/segment index
+    dist: jax.Array     # unsigned distance to the segment
+    lateral: jax.Array  # signed lateral offset (positive = +u = right of travel)
+    tangent: jax.Array  # (2,) unit direction of travel
+    closest: jax.Array  # (2,) closest point on the centerline
 
-    Returns (tile_idx, distance, lateral, tangent):
-      tile_idx: int32 index of the nearest tile/segment,
-      distance: unsigned distance to the segment,
-      lateral:  signed lateral offset (positive along +u = (cos b, sin b)),
-      tangent:  unit direction of travel along the segment.
-    """
+
+def nearest_segment(geom: TrackGeometry, p: jax.Array) -> SegmentQuery:
+    """Nearest centerline segment to point ``p`` (2,)."""
     a, b = geom.seg_a, geom.seg_b                      # (P,2)
     d = b - a
     l2 = jnp.maximum(jnp.sum(d * d, -1), 1e-12)
@@ -85,7 +86,8 @@ def nearest_segment(geom: TrackGeometry, p: jax.Array):
     # reference's +u offset direction is the right side of travel.
     cross = tangent[0] * delta[idx][1] - tangent[1] * delta[idx][0]
     lateral = jnp.where(cross > 0, -dist, dist)
-    return idx.astype(jnp.int32), dist, lateral, tangent
+    return SegmentQuery(idx.astype(jnp.int32), dist, lateral, tangent,
+                        closest[idx])
 
 
 def on_road(dist: jax.Array) -> jax.Array:

@@ -1,0 +1,90 @@
+"""Checkpointing: orbax params + hparams.yaml + STATS.pkl sidecars.
+
+Capability-parity with the reference's Lightning artifacts
+(`/root/reference/train.py:96-100,122-125`): per-epoch keep-all checkpoints
+under `<run>/checkpoints/epoch=K`, an `hparams.yaml` with the full config
+(restored by every inference/eval script via
+`fetch_hyperparams_from_yaml`, utils/data_utils.py:5-8), and the STATS.pkl
+normalization sidecar written by the data module.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import yaml
+
+try:
+    import orbax.checkpoint as ocp
+except Exception:  # pragma: no cover
+    ocp = None
+
+
+def checkpoint_dir(out_dir: str, epoch: int) -> str:
+    return os.path.join(out_dir, "checkpoints", f"epoch={epoch}")
+
+
+def save_checkpoint(out_dir: str, params, epoch: int) -> str:
+    path = checkpoint_dir(out_dir, epoch)
+    if ocp is not None:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path), jax.device_get(params), force=True)
+        ckptr.wait_until_finished()
+    else:  # fallback: flat npz
+        os.makedirs(path, exist_ok=True)
+        flat = jax.tree_util.tree_flatten_with_path(jax.device_get(params))[0]
+        np.savez(os.path.join(path, "params.npz"),
+                 **{jax.tree_util.keystr(k): np.asarray(v) for k, v in flat})
+    return path
+
+
+def load_checkpoint(path: str, like=None):
+    if ocp is not None and not os.path.exists(os.path.join(path, "params.npz")):
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(os.path.abspath(path), like)
+    data = np.load(os.path.join(path, "params.npz"))
+    if like is None:
+        raise ValueError("npz restore requires a template pytree")
+    flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+    return jax.tree_util.tree_unflatten(
+        treedef, [data[jax.tree_util.keystr(k)] for k, _ in flat])
+
+
+def latest_checkpoint(out_dir: str) -> Optional[str]:
+    root = os.path.join(out_dir, "checkpoints")
+    if not os.path.isdir(root):
+        return None
+    epochs = []
+    for name in os.listdir(root):
+        if name.startswith("epoch="):
+            try:
+                epochs.append(int(name.split("=")[1]))
+            except ValueError:
+                pass
+    if not epochs:
+        return None
+    return checkpoint_dir(out_dir, max(epochs))
+
+
+def save_hparams(out_dir: str, policy_config, train_config=None) -> str:
+    """hparams.yaml with the policy + train config (Lightning
+    save_hyperparameters parity, diffusion_ddpm.py:38)."""
+    payload: Dict[str, Any] = dict(dataclasses.asdict(policy_config))
+    if train_config is not None:
+        payload.update({f"train_{k}": v
+                        for k, v in dataclasses.asdict(train_config).items()})
+    # reference-compatible key aliases (hparams.yaml keys read by eval scripts)
+    payload.setdefault("observation_dim", policy_config.observation_dim)
+    path = os.path.join(out_dir, "hparams.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(payload, f)
+    return path
+
+
+def load_hparams(path: str) -> Dict[str, Any]:
+    with open(path) as f:
+        return yaml.safe_load(f)

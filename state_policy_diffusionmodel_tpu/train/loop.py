@@ -1,0 +1,182 @@
+"""pjit training loop for the diffusion policy.
+
+Replaces PyTorch Lightning (`/root/reference/train.py:104-128`) with a thin
+explicit loop: one jitted, data-parallel train step (batch sharded over the
+mesh's `data` axis, params replicated, gradients psum'd by XLA), Adam with
+0.5 global-norm clipping (Lightning `gradient_clip_val=0.5`), host-side
+ReduceLROnPlateau + lr early-stopping, quarter-epoch validation
+(`val_check_interval=0.25`), per-epoch checkpoints and a STATS.pkl sidecar.
+
+bf16 mixed precision (the reference's optional "16-mixed") is the
+`amp=True` path: activations/compute in bf16, params and Adam state fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.dataset import DataModule
+from ..diffusion import DiffusionPolicy, PolicyConfig
+from ..parallel import make_mesh, pad_to_multiple, replicate, shard_batch
+from . import checkpoints as ckpt_lib
+from .lr_schedule import ReduceLROnPlateau, should_early_stop
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Defaults = reference train.py:16-35."""
+
+    epochs: int = 500
+    batch_size: int = 16
+    lr: float = 1e-4
+    grad_clip: float = 0.5
+    val_interval: float = 0.25
+    amp: bool = False
+    seed: int = 42
+    log_every: int = 50
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr),
+    )
+
+
+def make_train_step(policy: DiffusionPolicy, optimizer, amp: bool = False):
+    """Returns a jitted (params, opt_state, batch, rng, lr) -> ... step."""
+
+    def loss_fn(params, batch, rng):
+        if amp:
+            batch = {k: (v.astype(jnp.bfloat16)
+                         if v.dtype == jnp.float32 else v)
+                     for k, v in batch.items()}
+        loss = policy.loss(params, batch, rng)
+        return loss.astype(jnp.float32)
+
+    @jax.jit
+    def step(params, opt_state, batch, rng, lr):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        opt_state[1].hyperparams["learning_rate"] = lr
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_eval_step(policy: DiffusionPolicy):
+    @jax.jit
+    def step(params, batch, rng):
+        return policy.loss(params, batch, rng)
+    return step
+
+
+@dataclasses.dataclass
+class Trainer:
+    policy: DiffusionPolicy
+    config: TrainConfig
+    out_dir: str
+
+    def __post_init__(self):
+        self.mesh = make_mesh()
+        self.optimizer = make_optimizer(self.config)
+        self.train_step = make_train_step(self.policy, self.optimizer,
+                                          self.config.amp)
+        self.eval_step = make_eval_step(self.policy)
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.metrics_path = os.path.join(self.out_dir, "metrics.jsonl")
+
+    def _log(self, record: Dict[str, Any]):
+        record["time"] = time.time()
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def _validate(self, params, dm: DataModule, rng) -> float:
+        losses = []
+        n_dev = self.mesh.devices.size
+        for batch in dm.val_batches():
+            batch, real = pad_to_multiple(batch, n_dev)
+            batch = shard_batch(batch, self.mesh)
+            rng, sub = jax.random.split(rng)
+            losses.append(float(self.eval_step(params, batch, sub)))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def fit(self, dm: DataModule, params: Optional[Dict] = None,
+            sample_hook=None) -> Dict:
+        cfg = self.config
+        rng = jax.random.key(cfg.seed)
+        rng, init_rng = jax.random.split(rng)
+        if params is None:
+            params = self.policy.init_params(init_rng)
+        params = replicate(params, self.mesh)
+        opt_state = self.optimizer.init(params)
+
+        plateau = ReduceLROnPlateau(lr=cfg.lr)
+        lr = cfg.lr
+        n_dev = self.mesh.devices.size
+        host_rng = np.random.default_rng(cfg.seed)
+
+        # pre-fit validation materializes the run dir + stats sidecar
+        # (reference train.py:122-125)
+        rng, vrng = jax.random.split(rng)
+        val_loss = self._validate(params, dm, vrng)
+        dm.save_stats(os.path.join(self.out_dir, "STATS.pkl"))
+        ckpt_lib.save_hparams(self.out_dir, self.policy.config, cfg)
+        self._log({"event": "pre_val", "val_loss": val_loss})
+
+        step_idx = 0
+        n_train_batches = max(1, len(dm.train_idx) // cfg.batch_size)
+        val_every = max(1, int(n_train_batches * cfg.val_interval))
+        history = {"train_loss": [], "val_loss": []}
+        stop = False
+
+        for epoch in range(cfg.epochs):
+            if stop:
+                break
+            t0 = time.time()
+            epoch_losses = []
+            for batch in dm.train_batches(rng=host_rng):
+                batch, _ = pad_to_multiple(batch, n_dev)
+                batch = shard_batch(batch, self.mesh)
+                rng, sub = jax.random.split(rng)
+                params, opt_state, loss = self.train_step(
+                    params, opt_state, batch, sub, jnp.asarray(lr))
+                step_idx += 1
+                epoch_losses.append(float(loss))
+                if step_idx % cfg.log_every == 0:
+                    self._log({"event": "train", "step": step_idx,
+                               "epoch": epoch, "loss": epoch_losses[-1],
+                               "lr": lr})
+                if step_idx % val_every == 0:
+                    rng, vrng = jax.random.split(rng)
+                    val_loss = self._validate(params, dm, vrng)
+                    lr = plateau.update(val_loss)
+                    history["val_loss"].append(val_loss)
+                    self._log({"event": "val", "step": step_idx,
+                               "val_loss": val_loss, "lr": lr})
+                    if sample_hook is not None:
+                        sample_hook(params, step_idx)
+                    if should_early_stop(lr):
+                        self._log({"event": "early_stop", "lr": lr})
+                        stop = True
+                        break
+
+            history["train_loss"].append(float(np.mean(epoch_losses)))
+            ckpt_lib.save_checkpoint(self.out_dir, params, epoch)
+            self._log({"event": "epoch", "epoch": epoch,
+                       "train_loss": history["train_loss"][-1],
+                       "seconds": time.time() - t0})
+
+        return {"params": params, "opt_state": opt_state, "history": history,
+                "lr": lr}

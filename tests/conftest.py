@@ -1,12 +1,14 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
-Must set env vars before jax initializes so sharding tests can exercise
-multi-chip paths without TPU hardware.
+The shell profile exports JAX_PLATFORMS=axon (the TPU tunnel); tests must
+never touch it. jax may already be imported by pytest plugins before this
+conftest runs, so env vars are not reliable — use jax.config.update, which
+works until the backend is first initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "float32")
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on CPU, got " + repr(jax.devices()))
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end test")

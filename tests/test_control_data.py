@@ -1,0 +1,169 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from state_policy_diffusionmodel_tpu import control, data, envs, track as T
+from state_policy_diffusionmodel_tpu.data import normalize as N
+
+
+def test_pid_matches_simple_pid_semantics():
+    p = control.pid_params(2.0, 0.5, 0.1, setpoint=1.0)
+    s = control.pid_init()
+    out, s = control.pid_update(p, s, 0.0, dt=0.02)
+    # first call: error=1, integral=0.5*1*0.02, derivative=0 (no last input)
+    assert out == pytest.approx(2.0 * 1.0 + 0.01)
+    out2, s = control.pid_update(p, s, 0.5, dt=0.02)
+    # derivative on measurement: -Kd * (0.5-0.0)/0.02
+    assert out2 == pytest.approx(2.0 * 0.5 + 0.01 + 0.5 * 0.5 * 0.02 - 0.1 * 25.0)
+
+
+def test_ring_buffer():
+    r = control.ring_init(3)
+    for v in (3.0, 6.0):
+        r = control.ring_push(r, v)
+    assert float(control.ring_mean(r)) == pytest.approx(3.0)  # zeros included
+
+
+def test_lane_follow_steers_toward_lane():
+    params = control.lane_follow_params("middle", target_velocity=20.0)
+    state = control.lane_follow_init()
+    augm = np.zeros((96, 96, 3), np.uint8)
+    augm[60, 55] = (255, 0, 255)  # magenta lane to the right of center
+    action, state2 = control.lane_follow(params, state,
+                                         jnp.asarray(augm), jnp.asarray(5.0))
+    # target right of center -> err>0 -> angle<0 -> pid out >0 -> env steers right
+    assert float(action[0]) > 0
+    assert float(action[1]) > 0  # below target speed -> gas
+    # lane not visible: action repeats, state frozen
+    action3, state3 = control.lane_follow(params, state2,
+                                          jnp.zeros((96, 96, 3), jnp.uint8),
+                                          jnp.asarray(5.0))
+    np.testing.assert_allclose(np.asarray(action3), np.asarray(action), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state3.err_buf.buf),
+                               np.asarray(state2.err_buf.buf))
+
+
+def test_center_follow_on_synthetic_strip():
+    obs = np.zeros((96, 96, 3), np.uint8)
+    obs[:, :, 1] = 230  # all grass
+    obs[:, :, 0] = 102
+    obs[:, :, 2] = 102
+    obs[:, 30:67, :] = 102  # road band shifted left of center (middle ~48)
+    action = control.center_follow(jnp.asarray(obs), jnp.asarray(30.0),
+                                   target_velocity=30.0)
+    a = np.asarray(action)
+    assert a.shape == (3,)
+    assert np.isfinite(a).all()
+    # at target speed: no gas, no brake
+    assert a[1] == pytest.approx(0.0, abs=1e-5)
+    assert a[2] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_sinusoidal_produces_bounded_actions():
+    geom = T.build(T.make_track(21), bake=False)
+    state = envs.init(geom)
+    action = control.sinusoidal(state.car, geom, jnp.asarray(0.0))
+    a = np.asarray(action)
+    assert np.isfinite(a).all()
+    assert a[1] >= 0 and a[2] >= 0
+
+
+def test_replay_buffer_roundtrip(tmp_path):
+    buf = data.ReplayBuffer.create_empty_numpy()
+    ep = {"img": np.random.rand(50, 8, 8, 3).astype(np.float32),
+          "position": np.random.randn(50, 2).astype(np.float32),
+          "velocity": np.random.randn(50, 2).astype(np.float32),
+          "action": np.random.randn(50, 3).astype(np.float32)}
+    buf.add_episode(ep)
+    buf.add_episode({k: v[:30] for k, v in ep.items()})
+    assert buf.n_episodes == 2 and buf.n_steps == 80
+    np.testing.assert_array_equal(buf.episode_ends, [50, 80])
+
+    path = str(tmp_path / "test.zarr")
+    buf.save_to_path(path, make_zip=True)
+    loaded = data.load_zarr(path)
+    np.testing.assert_allclose(loaded.data["img"], buf.data["img"])
+    np.testing.assert_array_equal(loaded.episode_ends, buf.episode_ends)
+    # zip round trip
+    loaded2 = data.load_zarr(path + ".zip")
+    np.testing.assert_allclose(loaded2.data["position"], buf.data["position"])
+    # episode API
+    e0 = buf.get_episode(0)
+    assert len(e0["img"]) == 50
+    popped = buf.pop_episode()
+    assert len(popped["img"]) == 30 and buf.n_episodes == 1
+
+
+def test_window_indices_match_reference_semantics():
+    ends = [20, 35]
+    idx = N.create_sample_indices_sparse(ends, sequence_length=4, step_size=5)
+    # window needs start + 4*5 <= end
+    assert ([0, 20, 0, 4] == idx[0]).all()
+    starts = idx[:, 0]
+    assert starts.max() <= 15
+    # all windows stay inside one episode
+    for s, e, _, _ in idx:
+        assert (s < 20) == (e <= 20)
+
+
+def test_dense_indices_padding():
+    idx = N.create_sample_indices(np.array([10]), 4, pad_before=2, pad_after=2)
+    assert (idx[0] == [0, 2, 2, 4]).all()
+    assert (idx[-1] == [8, 10, 0, 2]).all()
+    data_ = {"x": np.arange(10, dtype=np.float32)[:, None]}
+    w = N.sample_sequence(data_, 4, *idx[0])
+    np.testing.assert_allclose(w["x"][:, 0], [0, 0, 0, 1])
+
+
+def test_normalize_roundtrip():
+    stats = {"min": np.array([-2.0, 0.0]), "max": np.array([2.0, 4.0])}
+    x = np.array([[0.0, 1.0], [1.0, 3.0]])
+    n = N.normalize_data(x, stats)
+    assert n.min() >= -1 and n.max() <= 1
+    np.testing.assert_allclose(N.unnormalize_data(n, stats), x, atol=1e-6)
+
+    pos_stats = {"min": np.float32(-10.0), "max": np.float32(10.0)}
+    w = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], np.float32)
+    npos, trans = N.normalize_position(w, pos_stats)
+    np.testing.assert_allclose(npos[0], 0.0, atol=1e-6)
+    back = N.unnormalize_position(npos, trans, pos_stats)
+    np.testing.assert_allclose(back, w, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_collect_and_window_end_to_end(tmp_path):
+    episodes = data.collect_episodes(
+        seeds=[31, 32], driver="lane_follow", mode="middle",
+        target_velocity=25.0, n_steps=120, chunk=60)
+    assert len(episodes) == 2
+    ep = episodes[0]
+    assert ep["img"].shape == (120, 96, 96, 3)
+    assert ep["img"].max() <= 1.0
+    assert np.isfinite(ep["action"]).all()
+    # car should be moving by the end
+    assert np.abs(ep["velocity"][-20:]).max() > 1.0
+
+    buf = data.ReplayBuffer.create_empty_numpy()
+    for e in episodes:
+        buf.add_episode(e)
+    ds = data.WindowDataset(buf, obs_horizon=4, pred_horizon=8, step_size=5)
+    assert len(ds) > 0
+    w = ds.get_window(0)
+    assert w["position"].shape == (12, 2)
+    np.testing.assert_allclose(w["position"][0], 0.0, atol=1e-6)
+    assert w["action"].min() >= -1.0 - 1e-6 and w["action"].max() <= 1.0 + 1e-6
+
+    dm = data.DataModule(batch_size=8, T_obs=4, T_pred=8, seed=0, step_size=5)
+    dm.data_full = ds
+    n = len(ds)
+    rng = np.random.default_rng(0)
+    dm.train_idx = rng.permutation(n)[: int(n * 0.8)]
+    dm.val_idx = rng.permutation(n)[int(n * 0.8):]
+    b = next(iter(dm.train_batches(rng)))
+    assert b["image"].shape == (8, 12, 96, 96, 3)
+    dm.save_stats(str(tmp_path / "STATS.pkl"))
+    stats = data.load_stats(str(tmp_path / "STATS.pkl"))
+    assert "position" in stats

@@ -1,0 +1,103 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from state_policy_diffusionmodel_tpu import diffusion, envs, eval as E, track as T
+from state_policy_diffusionmodel_tpu.data.dataset import WindowDataset
+from state_policy_diffusionmodel_tpu.data.replay_buffer import ReplayBuffer
+
+
+def test_interpolate_actions():
+    sparse = jnp.array([[0.0, 0.0, 0.0], [1.0, 2.0, 3.0]])
+    out = E.interpolate_actions(sparse, 4)
+    assert out.shape == (4, 3)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), [0, 0.25, 0.5, 0.75])
+
+
+def test_hold_actions():
+    sparse = jnp.array([[1.0, 0, 0], [2.0, 0, 0]])
+    out = E.hold_actions(sparse, 3)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), [1, 1, 1, 2, 2, 2])
+
+
+def test_replay_deterministic():
+    geom = T.build(T.make_track(42), bake=False)
+    state, _ = envs.reset(geom, render=False)
+    actions = jnp.tile(jnp.array([0.0, 0.5, 0.0]), (30, 1))
+    _, pos1, _ = E.replay(geom, state, actions, 30)
+    _, pos2, _ = E.replay(geom, state, actions, 30)
+    np.testing.assert_allclose(np.asarray(pos1), np.asarray(pos2))
+    assert float(jnp.linalg.norm(pos1[-1] - pos1[0])) > 0.5
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    """Tiny untrained policy + synthetic dataset in inference mode."""
+    cfg = diffusion.PolicyConfig(
+        noise_steps=10, obs_horizon=4, pred_horizon=6, inpaint_horizon=1,
+        model="UNet", vision_encoder="none", step_size=2)
+    pol = diffusion.DiffusionPolicy(cfg)
+    params = pol.init_params(jax.random.key(0))
+
+    rng = np.random.default_rng(0)
+    n = 200
+    t = np.arange(n, dtype=np.float32)
+    buf = ReplayBuffer.create_empty_numpy()
+    buf.add_episode({
+        "img": np.zeros((n, 8, 8, 3), np.float32),
+        "position": np.stack([t * 0.1, np.sin(t * 0.05)], -1).astype(np.float32),
+        "velocity": rng.normal(size=(n, 2)).astype(np.float32),
+        "action": np.stack([np.sin(t * 0.1) * 0.2,
+                            np.full(n, 0.3, np.float32),
+                            np.zeros(n, np.float32)], -1).astype(np.float32),
+    })
+    train_ds = WindowDataset(buf, 4, 6, step_size=2)
+    infer_ds = WindowDataset(buf, 4, 6, step_size=2, stats=train_ds.stats)
+    return E.EvalContext(policy=pol, params=params, dataset=infer_ds,
+                         track_seed=42, sampler="ddim",
+                         num_inference_steps=5)
+
+
+def test_position_consistency(ctx):
+    out = E.position_consistency(ctx, window_idx=5, n_runs=3)
+    assert out["mean_error"].shape == (7,)
+    assert np.isfinite(out["mean_error"]).all()
+    assert (out["std_error"] >= 0).all()
+
+
+def test_position_accuracy(ctx):
+    out = E.position_accuracy(ctx, max_windows=3)
+    assert out["per_step_error"].shape == (7,)
+    assert np.isfinite(out["overall"])
+
+
+def test_precision_and_rollout(ctx):
+    out = E.precision(ctx, window_idx=5, n_runs=2)
+    assert np.isfinite(out["sample_spread"])
+    assert out["rollout_positions"].shape[0] == 2
+    assert np.isfinite(out["rollout_positions"]).all()
+
+
+def test_action_consistency(ctx):
+    out = E.action_consistency(ctx, window_idx=5, n_runs=2)
+    assert out["trajectories"].shape[0] == 2
+    assert np.isfinite(out["mean_error"]).all()
+
+
+def test_robustness_sweep(ctx):
+    out = E.robustness(ctx, window_idx=5, n_levels=3)
+    assert len(out["levels"]) == 3
+    assert out["levels"][0]["alpha"] == 0.0
+    assert all(np.isfinite(r["position_mse"]) for r in out["levels"])
+
+
+def test_compare_position_actions(ctx):
+    out = E.compare_position_actions(ctx, window_idx=5)
+    assert np.isfinite(out["pointwise_distance"]).all()
+
+
+def test_smoke(ctx):
+    out = E.smoke(ctx, window_idx=0)
+    assert out["positions"].shape == (7, 2)
+    assert out["actions"].shape == (7, 3)

@@ -1,0 +1,185 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from state_policy_diffusionmodel_tpu import diffusion, models
+from state_policy_diffusionmodel_tpu.diffusion import schedules as S
+from state_policy_diffusionmodel_tpu.models import layers
+
+
+def test_time_embedding_shape_and_range():
+    emb = layers.sinusoidal_time_embedding(jnp.array([0.0, 500.0]), 256)
+    assert emb.shape == (2, 256)
+    assert float(jnp.abs(emb).max()) <= 1.0
+    # t=0: sin part 0, cos part 1
+    np.testing.assert_allclose(np.asarray(emb[0, :128]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb[0, 128:]), 1.0, atol=1e-6)
+
+
+def test_pad_unpad_roundtrip():
+    x = jnp.arange(1 * 31 * 5 * 1.0).reshape(1, 31, 5, 1)
+    padded, pads = layers.pad_to(x, 8)
+    assert padded.shape == (1, 32, 8, 1)
+    assert pads == (1, 2, 0, 1)  # reference pad_to split: lw,uw,lh,uh
+    back = layers.unpad(padded, pads)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_upsample_align_corners_matches_torch_semantics():
+    # endpoints preserved, midpoints interpolated at i*(H-1)/(2H-1)
+    x = jnp.array([[0.0], [3.0]]).reshape(1, 2, 1, 1)
+    up = layers.upsample_align_corners(x, 2)
+    np.testing.assert_allclose(
+        np.asarray(up[0, :, 0, 0]), [0.0, 1.0, 2.0, 3.0], atol=1e-6)
+
+
+@pytest.mark.parametrize("name,expect_params", [
+    ("UNet_Film", None), ("UNet_FilmnoAttention", None), ("UNet", None)])
+def test_unet_forward_shapes(name, expect_params):
+    net = models.build_model(name)
+    x = jnp.zeros((2, 31, 5, 1))
+    t = jnp.array([3.0, 7.0])
+    cond = jnp.zeros((2, 10 * 135))
+    params = net.init(jax.random.key(0), x, t, cond)["params"]
+    out = net.apply({"params": params}, x, t, cond)
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_autoencoder_shapes():
+    ae = models.Autoencoder()
+    x = jnp.zeros((2, 96, 96, 3))
+    params = ae.init(jax.random.key(0), x)["params"]
+    recon = ae.apply({"params": params}, x)
+    assert recon.shape == (2, 96, 96, 3)
+    z = ae.apply({"params": params}, x, method=ae.encode)
+    assert z.shape == (2, 128)
+
+
+def test_resnet18_output_dim():
+    net = models.ResNet18GN()
+    x = jnp.zeros((1, 96, 96, 3))
+    params = net.init(jax.random.key(0), x)["params"]
+    out = net.apply({"params": params}, x)
+    assert out.shape == (1, 512)
+
+
+# -- schedules ---------------------------------------------------------------
+
+def test_linear_schedule_matches_diffusers_constants():
+    sched = S.make_schedule(1000, "linear")
+    np.testing.assert_allclose(float(sched.betas[0]), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched.betas[-1]), 0.02, rtol=1e-6)
+    assert float(sched.alphas_cumprod[-1]) < 5e-5  # fully noised at T
+
+
+def test_add_noise_snr():
+    sched = S.make_schedule(1000, "linear")
+    x0 = jnp.ones((4, 8, 2))
+    noise = jnp.zeros_like(x0)
+    # zero noise: x_t = sqrt(acp_t) * x0
+    t = jnp.array([0, 100, 500, 999])
+    xt = S.add_noise(sched, x0, noise, t)
+    expect = jnp.sqrt(sched.alphas_cumprod[t])
+    np.testing.assert_allclose(np.asarray(xt[:, 0, 0]), np.asarray(expect),
+                               rtol=1e-5)
+
+
+def test_ddim_with_perfect_eps_recovers_x0():
+    sched = S.make_schedule(1000, "linear")
+    rng = jax.random.key(1)
+    x0 = jax.random.normal(rng, (2, 6, 3)) * 0.5
+    noise = jax.random.normal(jax.random.key(2), x0.shape)
+    ts = S.ddim_timesteps(1000, 10)
+    t = jnp.asarray(ts[0])
+    xt = S.add_noise(sched, x0, noise, jnp.full((2,), t))
+    # with the true eps, DDIM jumps to sqrt(acp_prev) x0 + sqrt(1-acp_prev) eps
+    x_prev = S.ddim_step(sched, noise, t, jnp.asarray(ts[1]), xt,
+                         clip_sample=False)
+    acp_p = sched.alphas_cumprod[ts[1]]
+    expect = jnp.sqrt(acp_p) * x0 + jnp.sqrt(1 - acp_p) * noise
+    np.testing.assert_allclose(np.asarray(x_prev), np.asarray(expect), atol=1e-5)
+
+
+def test_ddpm_step_t0_is_deterministic_posterior_mean():
+    sched = S.make_schedule(1000, "linear")
+    x0 = jnp.full((1, 2, 2), 0.3)
+    noise = jax.random.normal(jax.random.key(3), x0.shape)
+    xt = S.add_noise(sched, x0, noise, jnp.zeros(1, jnp.int32))
+    z = jax.random.normal(jax.random.key(4), x0.shape)
+    out = S.ddpm_step(sched, noise, jnp.asarray(0), xt, z)
+    # at t=0, acp_prev=1: output is exactly pred_x0 = x0 (fp32: the
+    # (1-acp_0)=1e-4 division amplifies roundoff, hence the loose atol)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-3)
+
+
+def test_ddim_timesteps_spacing():
+    ts = S.ddim_timesteps(1000, 10)
+    np.testing.assert_array_equal(ts, [900, 800, 700, 600, 500, 400, 300,
+                                       200, 100, 0])
+
+
+# -- policy ------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_policy():
+    cfg = diffusion.PolicyConfig(
+        noise_steps=50, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
+        model="UNet", vision_encoder="none", step_size=1)
+    pol = diffusion.DiffusionPolicy(cfg)
+    params = pol.init_params(jax.random.key(0))
+    return pol, params
+
+
+def _tiny_batch(B=2, T=12):
+    rng = np.random.default_rng(0)
+    return {
+        "position": jnp.asarray(rng.normal(size=(B, T, 2)).astype(np.float32)),
+        "velocity": jnp.asarray(rng.normal(size=(B, T, 2)).astype(np.float32)),
+        "action": jnp.asarray(rng.normal(size=(B, T, 3)).astype(np.float32)),
+        "image": jnp.zeros((B, T, 96, 96, 3), jnp.float32),
+    }
+
+
+def test_policy_loss_finite_and_decreasing_with_truth(tiny_policy):
+    pol, params = tiny_policy
+    batch = _tiny_batch()
+    loss = pol.loss(params, batch, jax.random.key(1))
+    assert np.isfinite(float(loss))
+    # loss near E||noise - eps_est||^2 ~ O(1) for an untrained net
+    assert 0.01 < float(loss) < 100.0
+
+
+def test_policy_sample_shapes_and_inpaint(tiny_policy):
+    pol, params = tiny_policy
+    batch = _tiny_batch()
+    out = pol.sample(params, batch, jax.random.key(2), sampler="ddim",
+                     num_inference_steps=5)
+    assert out.shape == (2, 9, 5)
+    # inpaint rows equal the last obs step's (position, action)
+    expect = np.concatenate([
+        np.asarray(batch["position"][:, 3:4]),
+        np.asarray(batch["action"][:, 3:4])], -1)
+    np.testing.assert_allclose(np.asarray(out[:, :1]), expect, atol=1e-6)
+    hist = pol.sample(params, batch, jax.random.key(2), sampler="ddim",
+                      num_inference_steps=5, history=True)
+    assert hist.shape == (6, 2, 9, 5)
+    np.testing.assert_allclose(np.asarray(hist[-1]), np.asarray(out), atol=1e-6)
+
+
+def test_policy_with_vision_encoder():
+    cfg = diffusion.PolicyConfig(
+        noise_steps=10, obs_horizon=2, pred_horizon=4, inpaint_horizon=1,
+        model="UNet", vision_encoder="autoencoder")
+    pol = diffusion.DiffusionPolicy(cfg)
+    assert cfg.observation_dim == 135
+    params = pol.init_params(jax.random.key(0))
+    batch = _tiny_batch(B=1, T=6)
+    loss = pol.loss(params, batch, jax.random.key(1))
+    assert np.isfinite(float(loss))
+    # frozen encoder: no grads flow to it
+    grads = jax.grad(lambda p: pol.loss(p, batch, jax.random.key(1)))(params)
+    enc_norm = sum(float(jnp.abs(g).sum())
+                   for g in jax.tree.leaves(grads["encoder"]))
+    assert enc_norm == 0.0

@@ -45,14 +45,14 @@ def test_nearest_segment_on_and_off_road():
     geom = T.build(tr, bake=False)
     # a centerline point is on-road with ~zero distance
     p = jnp.asarray(tr.xy[10])
-    idx, dist, lat, tang = T.nearest_segment(geom, p)
+    idx, dist, lat, tang, closest = T.nearest_segment(geom, p)
     assert float(dist) < 1e-3
     assert bool(T.on_road(dist))
     assert idx in (10, 11)
     # a point laterally offset by TRACK_WIDTH+5 is off-road
     u = np.array([np.cos(tr.beta[10]), np.sin(tr.beta[10])])
     p2 = jnp.asarray(tr.xy[10] + (T.TRACK_WIDTH + 5) * u)
-    _, dist2, lat2, _ = T.nearest_segment(geom, p2)
+    _, dist2, lat2, _, _ = T.nearest_segment(geom, p2)
     assert not bool(T.on_road(dist2))
     # +u offset is positive lateral by convention
     assert float(lat2) > 0
@@ -79,5 +79,6 @@ def test_stack_batches():
     geoms = [T.build(T.make_track(s), bake=False) for s in (1, 2)]
     batch = T.stack(geoms)
     assert batch.seg_a.shape == (2, T.MAX_TRACK_PTS, 2)
-    idx, dist, _, _ = jax.vmap(T.nearest_segment)(batch, batch.seg_b[:, 5])
+    q = jax.vmap(T.nearest_segment)(batch, batch.seg_b[:, 5])
+    dist = q.dist
     assert dist.shape == (2,)

@@ -1,0 +1,110 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from state_policy_diffusionmodel_tpu import diffusion, parallel, train
+from state_policy_diffusionmodel_tpu.data.dataset import DataModule, WindowDataset
+from state_policy_diffusionmodel_tpu.data.replay_buffer import ReplayBuffer
+
+
+def _synthetic_module(T_obs=4, T_pred=8, n_steps=400, batch_size=8):
+    rng = np.random.default_rng(0)
+    t = np.arange(n_steps, dtype=np.float32)
+    pos = np.stack([np.cos(t * 0.01), np.sin(t * 0.01)], -1) * 50
+    vel = np.gradient(pos, axis=0) * 50
+    act = rng.normal(size=(n_steps, 3)).astype(np.float32) * 0.1
+    buf = ReplayBuffer.create_empty_numpy()
+    buf.add_episode({"img": np.zeros((n_steps, 8, 8, 3), np.float32),
+                     "position": pos.astype(np.float32),
+                     "velocity": vel.astype(np.float32),
+                     "action": act})
+    ds = WindowDataset(buf, T_obs, T_pred, step_size=2)
+    dm = DataModule(batch_size=batch_size, T_obs=T_obs, T_pred=T_pred,
+                    seed=0, step_size=2)
+    dm.data_full = ds
+    dm.stats = ds.stats
+    n = len(ds)
+    perm = np.random.default_rng(0).permutation(n)
+    dm.train_idx = perm[: int(n * 0.8)]
+    dm.val_idx = perm[int(n * 0.8):]
+    return dm
+
+
+def test_mesh_has_8_virtual_devices():
+    mesh = parallel.make_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 CPU devices
+    batch = {"x": np.zeros((16, 3), np.float32)}
+    sharded = parallel.shard_batch(batch, mesh)
+    assert sharded["x"].sharding.spec == jax.sharding.PartitionSpec("data")
+
+
+def test_pad_to_multiple():
+    batch = {"x": np.arange(10, dtype=np.float32)[:, None]}
+    padded, real = parallel.pad_to_multiple(batch, 8)
+    assert real == 10 and padded["x"].shape[0] == 16
+    np.testing.assert_allclose(padded["x"][10:], np.full((6, 1), 9.0))
+
+
+def test_reduce_lr_on_plateau():
+    sch = train.ReduceLROnPlateau(lr=1e-3, patience=2)
+    assert sch.update(1.0) == 1e-3
+    for _ in range(2):
+        assert sch.update(1.0) == 1e-3  # within patience
+    assert sch.update(1.0) == pytest.approx(1e-4)  # decayed
+    assert sch.update(0.5) == pytest.approx(1e-4)  # new best resets
+    assert not train.should_early_stop(1e-3)
+    assert train.should_early_stop(1e-4)
+
+
+def test_train_step_descends_loss():
+    cfg = diffusion.PolicyConfig(
+        noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
+        model="UNet", vision_encoder="none", step_size=2)
+    pol = diffusion.DiffusionPolicy(cfg)
+    params = pol.init_params(jax.random.key(0))
+    tcfg = train.TrainConfig(batch_size=8, lr=3e-4)
+    opt = train.make_optimizer(tcfg)
+    opt_state = opt.init(params)
+    step = train.make_train_step(pol, opt)
+
+    dm = _synthetic_module()
+    batch = next(iter(dm.train_batches(np.random.default_rng(0))))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.key(1)
+    losses = []
+    for i in range(30):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = step(params, opt_state, batch, sub,
+                                       jnp.asarray(3e-4))
+        losses.append(float(loss))
+    # overfitting one batch must reduce the loss substantially
+    assert np.mean(losses[-5:]) < 0.7 * np.mean(losses[:5])
+
+
+@pytest.mark.slow
+def test_trainer_end_to_end(tmp_path):
+    cfg = diffusion.PolicyConfig(
+        noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
+        model="UNet", vision_encoder="none", step_size=2)
+    pol = diffusion.DiffusionPolicy(cfg)
+    tcfg = train.TrainConfig(epochs=2, batch_size=8, lr=3e-4, seed=0)
+    trainer = train.Trainer(pol, tcfg, str(tmp_path / "run"))
+    dm = _synthetic_module()
+    out = trainer.fit(dm)
+    assert len(out["history"]["train_loss"]) == 2
+    # checkpoints + sidecars exist
+    assert os.path.exists(tmp_path / "run" / "STATS.pkl")
+    assert os.path.exists(tmp_path / "run" / "hparams.yaml")
+    ck = train.checkpoints.latest_checkpoint(str(tmp_path / "run"))
+    assert ck is not None
+    restored = train.checkpoints.load_checkpoint(
+        ck, jax.device_get(out["params"]))
+    a = jax.tree.leaves(restored)[0]
+    b = jax.tree.leaves(jax.device_get(out["params"]))[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # hparams round trip
+    hp = train.checkpoints.load_hparams(str(tmp_path / "run" / "hparams.yaml"))
+    assert hp["obs_horizon"] == 4 and hp["observation_dim"] == 7
