@@ -1,0 +1,86 @@
+"""Diffusion policy training CLI (parity with /root/reference/train.py)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+
+def parse_arguments():
+    p = argparse.ArgumentParser(description="Train the diffusion policy")
+    # reference defaults (train.py:16-35)
+    p.add_argument("--n_epochs", type=int, default=500)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--obs_horizon", type=int, default=10)
+    p.add_argument("--pred_horizon", type=int, default=30)
+    p.add_argument("--inpaint_horizon", type=int, default=1)
+    p.add_argument("--step_size", type=int, default=5)
+    p.add_argument("--noise_steps", type=int, default=1000)
+    p.add_argument("--model", default="UNet_Film",
+                   choices=["UNet_Film", "UNet_FilmnoAttention", "UNet"])
+    p.add_argument("--noise_scheduler", default="linear",
+                   choices=["linear", "linear_v2", "cosine"])
+    p.add_argument("--vision_encoder", default="autoencoder",
+                   choices=["autoencoder", "resnet18", "none"])
+    p.add_argument("--encoder_ckpt", default=None,
+                   help="pretrained autoencoder checkpoint dir (optional)")
+    p.add_argument("--dataset_dir", default="./data")
+    p.add_argument("--dataset_name", required=True)
+    p.add_argument("--out_dir", default="./tb_logs")
+    p.add_argument("--amp", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--version", default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_arguments()
+    import jax
+    from state_policy_diffusionmodel_tpu import diffusion, train
+    from state_policy_diffusionmodel_tpu.data.dataset import DataModule
+    from state_policy_diffusionmodel_tpu.utils.printing import (
+        print_dataset_info, print_hyperparameters)
+
+    version = args.version or datetime.now().strftime("version_%Y%m%d_%H%M%S")
+    out_dir = os.path.join(args.out_dir, version)
+
+    cfg = diffusion.PolicyConfig(
+        noise_steps=args.noise_steps,
+        obs_horizon=args.obs_horizon,
+        pred_horizon=args.pred_horizon,
+        inpaint_horizon=args.inpaint_horizon,
+        model=args.model,
+        noise_scheduler_type=args.noise_scheduler,
+        step_size=args.step_size,
+        vision_encoder=args.vision_encoder,
+    )
+    tcfg = train.TrainConfig(
+        epochs=args.n_epochs, batch_size=args.batch_size, lr=args.lr,
+        amp=args.amp, seed=args.seed)
+    print_hyperparameters(cfg, tcfg)
+
+    dm = DataModule(batch_size=args.batch_size, data_dir=args.dataset_dir,
+                    T_obs=args.obs_horizon, T_pred=args.pred_horizon,
+                    seed=args.seed, step_size=args.step_size)
+    dm.setup(args.dataset_name)
+    print_dataset_info(args.dataset_name, len(dm.data_full),
+                       len(dm.train_idx), len(dm.val_idx),
+                       args.obs_horizon, args.pred_horizon, args.step_size)
+
+    policy = diffusion.DiffusionPolicy(cfg)
+    params = None
+    if args.encoder_ckpt:
+        tmpl = policy.init_params(jax.random.key(0))
+        enc = train.checkpoints.load_checkpoint(
+            args.encoder_ckpt, {"encoder": tmpl["encoder"]})["encoder"]
+        params = policy.init_params(jax.random.key(0), encoder_params=enc)
+
+    trainer = train.Trainer(policy, tcfg, out_dir)
+    result = trainer.fit(dm, params=params)
+    print(f"done; final lr {result['lr']}, artifacts in {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -96,15 +96,29 @@ class WindowDataset:
         return sample
 
     def batch(self, idxs) -> Dict[str, np.ndarray]:
-        """Stacked batch {image, position, velocity, action}: (B, T, ...)."""
-        out = {k: [] for k in ("image", "position", "velocity", "action")}
-        for i in idxs:
-            s = self.get_window(int(i))
-            if self.inference_mode:
-                s = s[0]
-            for k in out:
-                out[k].append(s[k])
-        return {k: np.stack(v) for k, v in out.items()}
+        """Stacked batch {image, position, velocity, action}: (B, T, ...).
+
+        Uses the C++ window-sampler (csrc/) when built — one multithreaded
+        gather instead of per-window python — falling back to numpy."""
+        from . import native
+        idxs = np.asarray(idxs, np.int64)
+        starts = self.indices[idxs, 0]
+        seq, step = self.sequence_len, self.step_size
+        out = {
+            "image": native.gather_windows(self.train_data["image"], starts,
+                                           seq, step),
+            "velocity": native.gather_windows(self.train_data["velocity"],
+                                              starts, seq, step),
+            "action": native.gather_windows(self.train_data["action"], starts,
+                                            seq, step),
+        }
+        pos = native.gather_windows(self.train_data["position"], starts, seq,
+                                    step)
+        pos, _ = native.normalize_positions(
+            pos, float(self.stats["position"]["min"]),
+            float(self.stats["position"]["max"]))
+        out["position"] = pos
+        return out
 
     def save_stats(self, path: str):
         """Reference STATS.pkl sidecar: a single-element list
