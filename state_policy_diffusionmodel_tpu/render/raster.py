@@ -1,15 +1,33 @@
-"""Pure-jnp 96x96 rasterizer for the CarRacing state image.
+"""Pure-jnp 96x96 rasterizer for the CarRacing state image, laid out for TPU.
 
 Replaces the reference's per-step double OpenGL rasterization + glReadPixels
 readback (`/root/reference/envs/car_racing.py:498-599`) with a fused array
-program: one camera-transformed gather from the per-track palette texture
-plus analytic compositing of the grass checker, car polygons, HUD bars and
-(optionally) predicted-trajectory overlays.  Both the normal and the
-augmented frame come from the same pass under two palettes.
-
-Draw order matches the GL pass exactly: background -> road texture ->
-[augmented: lanes] -> points buffer -> wheels (with white rims) -> hull ->
+program.  Draw order matches the GL pass exactly: background -> road texture
+-> [augmented: lanes] -> points buffer -> wheels (with white rims) -> hull ->
 HUD.  vmap over envs for batched rendering.
+
+TPU layout design
+-----------------
+Every per-pixel quantity lives on a flat ``(72, 128)`` float32/int32 *plane*
+(9216 px = 96*96; 128 = exactly the VPU lane width, 72 = 9 full sublane
+groups).  A naive ``(96, 96, 3)`` RGB layout puts the 3-channel dim on the
+128-wide lane axis and wastes 125/128 of every vector op; here color only
+materializes at the very end.  The pipeline is:
+
+1. camera: world coords of each pixel as two planes (px, py);
+2. every layer (grass checker, road texels, lanes, predicted-point overlay,
+   12 car polygons, HUD bar + 7 indicator quads) becomes a boolean plane;
+3. draw order = a single elementwise ``max`` over per-layer palette indices
+   (later layers get larger indices, so "later draw wins" is just max);
+4. colorization = one-hot(layer) @ uint8-palette — a (9216, 64) x (64, 3)
+   bfloat16 matmul on the MXU whose accumulation is exact (one 1 per row,
+   integer-valued palette), so output bytes match the f32 reference math
+   bit-for-bit.
+
+Texel fetch is also MXU-shaped (`_sample_texture_mxu`): TPU has no efficient
+per-lane gather, so nearest-neighbor sampling is a one-hot row gather matmul
+over a 128x128 window of the packed track texture dynamic-sliced around the
+viewport (the 96x96 viewport spans at most ~122 texels at the fixed zoom).
 
 Known divergence from the reference (documented): the pyglet score label
 (bottom-left "0000" text, car_racing.py:774) is not rasterized.
@@ -25,11 +43,12 @@ import numpy as np
 
 from ..physics import CarState, constants as C, hull_com_velocity
 from ..track.generator import PLAYFIELD
-from ..track.geometry import TrackGeometry, sample_texture
+from ..track.geometry import TrackGeometry
 from ..track import texture as textures
 from . import camera
 
 F32 = jnp.float32
+FLAT = (72, 128)  # 9216 = 96 * 96 pixels as full (sublane, lane) tiles
 
 # ---------------------------------------------------------------------------
 # static car polygon table (body-frame), padded to (NPOLY, MAXV, 2)
@@ -62,6 +81,58 @@ POINTS_COLOR = np.array([1.0, 0.0, 0.0], np.float32)
 
 GRASS_K = PLAYFIELD / 20.0
 
+# HUD indicator colors in draw order (car_racing.py:713-773)
+HUD_COLORS = np.array([
+    [1.0, 1.0, 1.0],    # true speed
+    [0.0, 0.0, 1.0],    # wheel omega 0
+    [0.0, 0.0, 1.0],    # wheel omega 1
+    [0.2, 0.0, 1.0],    # wheel omega 2
+    [0.2, 0.0, 1.0],    # wheel omega 3
+    [0.0, 1.0, 0.0],    # steering joint angle
+    [1.0, 0.0, 0.0],    # angular velocity
+], np.float32)
+
+# ---------------------------------------------------------------------------
+# unified layer palette: index = draw order; composition = elementwise max
+# ---------------------------------------------------------------------------
+L_OUTFIELD = 0
+L_GRASS_DARK = 1
+L_GRASS_LIGHT = 2
+L_BASE0 = 3          # 3..7: road shades / borders (texture base 1..5)
+L_LANE0 = 8          # 8..12: behavior lanes (texture lane 1..5, augm only)
+L_POINTS = 13
+L_CAR0 = 14          # 14..25: wheel0, rim0, ..., hull1..4 in draw order
+L_HUD_BAR = 26
+L_HUD0 = 27          # 27..33: indicator quads
+N_LAYERS = 64        # palette rows (padded for the one-hot matmul)
+
+
+def _u8(c):
+    """Exact uint8 palette entry: same rounding as the f32 renderer's
+    jnp.round(clip(c, 0, 1) * 255) (round-half-even)."""
+    c = np.clip(np.asarray(c, np.float32), 0, 1) * np.float32(255)
+    return np.round(c).astype(np.uint8)
+
+
+def _build_palette() -> np.ndarray:
+    pal = np.zeros((N_LAYERS, 3), np.uint8)
+    pal[L_OUTFIELD] = _u8(textures.OUTFIELD)
+    pal[L_GRASS_DARK] = _u8(textures.GRASS_DARK)
+    pal[L_GRASS_LIGHT] = _u8(textures.GRASS_LIGHT)
+    pal[L_BASE0:L_BASE0 + 5] = _u8(textures.BASE_PALETTE[1:6])
+    pal[L_LANE0:L_LANE0 + 5] = _u8(textures.LANE_PALETTE[1:6])
+    pal[L_POINTS] = _u8(POINTS_COLOR)
+    for k in range(4):
+        pal[L_CAR0 + 2 * k] = _u8(WHEEL_COLOR)
+        pal[L_CAR0 + 2 * k + 1] = _u8(WHEEL_WHITE)
+    pal[L_CAR0 + 8:L_CAR0 + 12] = _u8(HULL_COLOR)
+    pal[L_HUD_BAR] = 0
+    pal[L_HUD0:L_HUD0 + 7] = _u8(HUD_COLORS)
+    return pal
+
+
+PALETTE_U8 = _build_palette()
+
 
 class Overlay(NamedTuple):
     """Predicted-trajectory polylines (the `add_points2Buffer` hook,
@@ -76,63 +147,95 @@ def _rot2(angle):
     return jnp.stack([jnp.stack([c, -s]), jnp.stack([s, c])])
 
 
+def _pixel_planes():
+    """Constant planes (XLA folds them at compile time): logical-window
+    coords (wx, wy) of every pixel, pre-divided camera-frame coords
+    (rx, ry), all (72, 128) f32.  Math mirrors camera.pixel_window_centers /
+    window_to_world exactly."""
+    i0 = jax.lax.broadcasted_iota(jnp.int32, FLAT, 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, FLAT, 1)
+    p = i0 * 128 + i1
+    r = p // camera.STATE_W
+    c = p % camera.STATE_W
+    wx = (c + 0.5) * (camera.WINDOW_W / camera.STATE_W)
+    wy = (camera.STATE_H - 1 - r + 0.5) * (camera.WINDOW_H / camera.STATE_H)
+    rx = (wx - camera.WINDOW_W / 2) / camera.CAM_ZOOM
+    ry = (wy - camera.WINDOW_H / 4) / camera.CAM_ZOOM
+    return wx, wy, rx, ry
+
+
 WINDOW = 128  # texture window size (texels); the 96x96 viewport spans at
 # most ~122 texels diagonally at the fixed zoom, so a 128-window centered on
 # the visible region always covers every in-field pixel.
 
 
-def _sample_texture_mxu(geom: TrackGeometry, pw: jax.Array):
+def _sample_texture_mxu(geom: TrackGeometry, px: jax.Array, py: jax.Array):
     """Palette lookup via MXU one-hot matmuls instead of a random gather.
 
     TPU has no efficient per-lane gather: XLA lowers the naive
     `tex[i, j]` to a scalar loop (~200us/frame measured). Instead we
-    dynamic-slice a 128x128 window of the texture around the viewport
-    (contiguous DMA), pack the two palette channels into one integer, and
-    evaluate sample[p] = sum_ij onehotI[p,i] * V[i,j] * onehotJ[p,j] as a
+    dynamic-slice a 128x128 window of the packed texture around the viewport
+    (contiguous DMA) and evaluate
+    sample[p] = sum_ij onehotI[p,i] * V[i,j] * onehotJ[p,j] as a
     (9216,128)@(128,128) matmul plus an elementwise reduction — exact
     nearest-neighbor sampling on the systolic array.
 
-    pw: (96, 96, 2) world coords. Returns (base_idx, lane_idx) int32.
+    px, py: (72, 128) world-coord planes. Returns (base_idx, lane_idx) int32
+    planes (0 outside the playfield).
     """
     tex_size = geom.tex.shape[0]
     s = tex_size / (2.0 * PLAYFIELD)
-    f = (pw + PLAYFIELD) * s                      # float texel coords
-    fi = jnp.floor(f[..., 0]).astype(jnp.int32)
-    fj = jnp.floor(f[..., 1]).astype(jnp.int32)
-    infield = jnp.all((f >= 0) & (f < tex_size), axis=-1)
+    fx = (px + PLAYFIELD) * s                     # float texel coords
+    fy = (py + PLAYFIELD) * s
+    fi = jnp.floor(fx).astype(jnp.int32)
+    fj = jnp.floor(fy).astype(jnp.int32)
+    infield = (fx >= 0) & (fx < tex_size) & (fy >= 0) & (fy < tex_size)
 
     big = jnp.int32(10 * tex_size)
     oi = jnp.clip(jnp.min(jnp.where(infield, fi, big)), 0, tex_size - WINDOW)
     oj = jnp.clip(jnp.min(jnp.where(infield, fj, big)), 0, tex_size - WINDOW)
 
-    win = jax.lax.dynamic_slice(geom.tex, (oi, oj, 0), (WINDOW, WINDOW, 2))
-    packed = (win[..., 0].astype(jnp.int32) * 8
-              + win[..., 1].astype(jnp.int32)).astype(jnp.bfloat16)
+    win = jax.lax.dynamic_slice(geom.tex, (oi, oj), (WINDOW, WINDOW))
+    packed = win.astype(jnp.bfloat16)             # values < 48: exact
 
     li = (fi - oi).reshape(-1)                    # (9216,) window-local rows
     lj = (fj - oj).reshape(-1)
-    iw = jax.lax.broadcasted_iota(jnp.int32, (WINDOW,), 0)
-    onehot_i = (li[:, None] == iw[None, :]).astype(jnp.bfloat16)
-    onehot_j = (lj[:, None] == iw[None, :]).astype(jnp.bfloat16)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
+    onehot_i = (li[:, None] == iw).astype(jnp.bfloat16)
+    onehot_j = (lj[:, None] == iw).astype(jnp.bfloat16)
 
     rows = jnp.dot(onehot_i, packed,
                    preferred_element_type=jnp.float32)   # (9216, 128)
     vals = jnp.sum(rows * onehot_j.astype(jnp.float32), axis=-1)
-    vals = jnp.round(vals).astype(jnp.int32).reshape(pw.shape[:2])
+    vals = jnp.round(vals).astype(jnp.int32).reshape(FLAT)
     vals = jnp.where(infield, vals, 0)
     return vals // 8, vals % 8
 
 
-def _point_in_convex(pw, verts):
-    """pw: (H, W, 2); verts: (V, 2) convex polygon (either winding).
-    Returns (H, W) bool."""
-    a = verts
-    b = jnp.roll(verts, -1, axis=0)
-    e = b - a                                     # (V, 2)
-    d0 = pw[..., None, 0] - a[:, 0]               # (H, W, V)
-    d1 = pw[..., None, 1] - a[:, 1]
-    cross = e[:, 0] * d1 - e[:, 1] * d0
-    return jnp.all(cross <= 1e-6, -1) | jnp.all(cross >= -1e-6, -1)
+def _poly_layers(px, py, verts, active, layer0):
+    """Fold convex polygons into a layer-index plane by draw order.
+
+    verts: (N, MAXV, 2) world-frame; active: (N,) bool; polygon i gets
+    palette index layer0 + i.  The inside test replicates the reference
+    renderer's epsilon cross-product test per edge (either winding).
+    Returns an int32 plane (0 where no polygon covers the pixel).
+    """
+    n, nv = verts.shape[0], verts.shape[1]
+    layer = jnp.zeros(FLAT, jnp.int32)
+    for i in range(n):
+        cmax = None
+        cmin = None
+        for e in range(nv):
+            ax = verts[i, e, 0]
+            ay = verts[i, e, 1]
+            e0 = verts[i, (e + 1) % nv, 0] - ax
+            e1 = verts[i, (e + 1) % nv, 1] - ay
+            cross = e0 * (py - ay) - e1 * (px - ax)
+            cmax = cross if cmax is None else jnp.maximum(cmax, cross)
+            cmin = cross if cmin is None else jnp.minimum(cmin, cross)
+        inside = ((cmax <= 1e-6) | (cmin >= -1e-6)) & active[i]
+        layer = jnp.where(inside, jnp.int32(layer0 + i), layer)
+    return layer
 
 
 def _wheel_stripe(phase):
@@ -153,62 +256,55 @@ def _wheel_stripe(phase):
     return verts, active
 
 
-def _background(pw):
-    """Grass checker / out-of-field white (car_racing.py:608-644 + GL clear)."""
-    px, py = pw[..., 0], pw[..., 1]
+def _background_layer(px, py):
+    """Grass checker / out-of-field white (car_racing.py:608-644 + GL clear)
+    as palette indices."""
     infield = (jnp.abs(px) <= PLAYFIELD) & (jnp.abs(py) <= PLAYFIELD)
     ix = jnp.floor(px / GRASS_K).astype(jnp.int32)
     iy = jnp.floor(py / GRASS_K).astype(jnp.int32)
     light = (ix % 2 == 0) & (iy % 2 == 0)
-    grass = jnp.where(
-        light[..., None], jnp.asarray(textures.GRASS_LIGHT),
-        jnp.asarray(textures.GRASS_DARK),
-    )
-    return jnp.where(infield[..., None], grass, jnp.asarray(textures.OUTFIELD))
+    grass = jnp.where(light, jnp.int32(L_GRASS_LIGHT), jnp.int32(L_GRASS_DARK))
+    return jnp.where(infield, grass, jnp.int32(L_OUTFIELD))
 
 
 def _indicator_quads(car: CarState, hull_vel):
     """HUD bar quads in window coords (car_racing.py:713-773).
 
-    Returns (quads (7, 4, 2), colors (7, 3))."""
+    Returns quads (7, 4, 2); colors are the static HUD_COLORS."""
     W, H = camera.WINDOW_W, camera.WINDOW_H
     s, h = W / 40.0, H / 40.0
 
-    def vert(place, val, color):
+    def vert(place, val):
         x0, x1 = place * s, (place + 1) * s
         y0, y1 = h, h + h * val
-        q = jnp.stack([
+        return jnp.stack([
             jnp.stack([x0, y1]), jnp.stack([x1, y1]),
             jnp.stack([x1, y0]), jnp.stack([x0, y0]),
         ])
-        return q, jnp.asarray(color, F32)
 
-    def horiz(place, val, color):
+    def horiz(place, val):
         x0 = place * s
         x1 = (place + val) * s
-        q = jnp.stack([
+        return jnp.stack([
             jnp.stack([x0, 4 * h]), jnp.stack([x1, 4 * h]),
             jnp.stack([x1, 2 * h]), jnp.stack([x0, 2 * h]),
         ])
-        return q, jnp.asarray(color, F32)
 
     true_speed = jnp.linalg.norm(hull_vel)
-    quads = [
-        vert(5.0, 0.02 * true_speed, [1, 1, 1]),
-        vert(7.0, 0.01 * car.omega[0], [0.0, 0, 1]),
-        vert(8.0, 0.01 * car.omega[1], [0.0, 0, 1]),
-        vert(9.0, 0.01 * car.omega[2], [0.2, 0, 1]),
-        vert(10.0, 0.01 * car.omega[3], [0.2, 0, 1]),
-        horiz(20.0, -10.0 * car.joint_angle[0], [0, 1, 0]),
-        horiz(30.0, -0.8 * car.angular_vel, [1, 0, 0]),
-    ]
-    return jnp.stack([q for q, _ in quads]), jnp.stack([c for _, c in quads])
+    return jnp.stack([
+        vert(5.0, 0.02 * true_speed),
+        vert(7.0, 0.01 * car.omega[0]),
+        vert(8.0, 0.01 * car.omega[1]),
+        vert(9.0, 0.01 * car.omega[2]),
+        vert(10.0, 0.01 * car.omega[3]),
+        horiz(20.0, -10.0 * car.joint_angle[0]),
+        horiz(30.0, -0.8 * car.angular_vel),
+    ])
 
 
 def _car_polys(car: CarState):
     """All car polygons in world frame, reference draw order
-    (wheels+rims first, hull last). Returns (verts (13,8,2), colors (13,3),
-    active (13,))."""
+    (wheels+rims first, hull last). Returns (verts (12,8,2), active (12,))."""
     hull_rot = _rot2(car.angle)
     hull_world = jnp.asarray(HULL_POLYS) @ hull_rot.T + car.pos  # (4,8,2)
 
@@ -236,15 +332,53 @@ def _car_polys(car: CarState):
         jnp.stack([wheel_world, stripe_world], 1).reshape(8, MAXV, 2),
         hull_world,
     ])
-    colors = jnp.concatenate([
-        jnp.tile(jnp.stack([jnp.asarray(WHEEL_COLOR), jnp.asarray(WHEEL_WHITE)]), (4, 1)),
-        jnp.tile(jnp.asarray(HULL_COLOR)[None], (4, 1)),
-    ])
     active = jnp.concatenate([
         jnp.stack([jnp.ones(4, bool), stripe_active], 1).reshape(8),
         jnp.ones(4, bool),
     ])
-    return verts, colors, active
+    return verts, active
+
+
+def _overlay_layer(overlay: Overlay, wx, wy, scroll, angle):
+    """Predicted-points polylines as a layer plane (car_racing.py:691-701):
+    red 1px-wide segments in state-pixel space."""
+    a = overlay.points[:, :-1]                          # (K, L-1, 2)
+    b = overlay.points[:, 1:]
+    seg_ok = overlay.valid[:, None] & jnp.ones(a.shape[1], bool)
+    a = a.reshape(-1, 2)
+    b = b.reshape(-1, 2)
+    seg_ok = seg_ok.reshape(-1)
+    sx = jnp.asarray(camera.STATE_W / camera.WINDOW_W, F32)
+    sy = jnp.asarray(camera.STATE_H / camera.WINDOW_H, F32)
+    aw = camera.world_to_window(a, scroll, angle)       # (S, 2)
+    bw = camera.world_to_window(b, scroll, angle)
+    awx, awy = aw[:, 0] * sx, aw[:, 1] * sy
+    bwx, bwy = bw[:, 0] * sx, bw[:, 1] * sy
+    pfx, pfy = wx * sx, wy * sy                         # pixel planes
+
+    hit = jnp.zeros(FLAT, bool)
+    for s in range(a.shape[0]):
+        dx = bwx[s] - awx[s]
+        dy = bwy[s] - awy[s]
+        l2 = jnp.maximum(dx * dx + dy * dy, 1e-9)
+        apx = pfx - awx[s]
+        apy = pfy - awy[s]
+        t = jnp.clip((apx * dx + apy * dy) / l2, 0.0, 1.0)
+        cx = apx - t * dx
+        cy = apy - t * dy
+        dist2 = cx * cx + cy * cy
+        hit = hit | ((dist2 <= 0.5 ** 2) & seg_ok[s])
+    return jnp.where(hit, jnp.int32(L_POINTS), 0)
+
+
+def _colorize(layer: jax.Array) -> jax.Array:
+    """(72,128) int32 layer plane -> (96,96,3) uint8 via a one-hot palette
+    matmul (exact: one 1 per row, integer-valued bf16 palette)."""
+    iw = jax.lax.broadcasted_iota(jnp.int32, (1, N_LAYERS), 1)
+    onehot = (layer.reshape(-1, 1) == iw).astype(jnp.bfloat16)
+    rgb = jnp.dot(onehot, jnp.asarray(PALETTE_U8, jnp.bfloat16),
+                  preferred_element_type=jnp.float32)   # (9216, 3) exact ints
+    return rgb.astype(jnp.uint8).reshape(camera.STATE_H, camera.STATE_W, 3)
 
 
 def render(
@@ -255,61 +389,36 @@ def render(
     """Render one env. Returns (state, augmented): (96, 96, 3) uint8 each."""
     hull_vel = hull_com_velocity(car)
     angle = camera.camera_angle(car.angle, hull_vel)
-    pw = camera.pixel_world_coords(car.pos, angle)          # (96,96,2) world
-    win = camera.pixel_window_centers()                     # (96,96,2) window
+    wx, wy, rx, ry = _pixel_planes()
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    px = c * rx + s * ry + car.pos[0]                   # world-coord planes
+    py = -s * rx + c * ry + car.pos[1]
 
-    img = _background(pw)
+    layer = _background_layer(px, py)
 
-    base_idx, lane_idx = _sample_texture_mxu(geom, pw)
-    base_color = jnp.asarray(textures.BASE_PALETTE)[base_idx]
-    img = jnp.where((base_idx > 0)[..., None], base_color, img)
+    base_idx, lane_idx = _sample_texture_mxu(geom, px, py)
+    layer = jnp.maximum(layer, jnp.where(base_idx > 0, base_idx + (L_BASE0 - 1), 0))
+    lane_term = jnp.where(lane_idx > 0, lane_idx + (L_LANE0 - 1), 0)
 
-    lane_color = jnp.asarray(textures.LANE_PALETTE)[lane_idx]
-    img_augm = jnp.where((lane_idx > 0)[..., None], lane_color, img)
-
-    # predicted-points overlay (red polylines, 1px, car_racing.py:691-701)
     if overlay is not None:
-        a = overlay.points[:, :-1]                          # (K, L-1, 2)
-        b = overlay.points[:, 1:]
-        seg_ok = overlay.valid[:, None] & jnp.ones(a.shape[1], bool)
-        a = a.reshape(-1, 2)
-        b = b.reshape(-1, 2)
-        seg_ok = seg_ok.reshape(-1)
-        aw = camera.world_to_window(a, car.pos, angle) * jnp.asarray(
-            [camera.STATE_W / camera.WINDOW_W, camera.STATE_H / camera.WINDOW_H])
-        bw = camera.world_to_window(b, car.pos, angle) * jnp.asarray(
-            [camera.STATE_W / camera.WINDOW_W, camera.STATE_H / camera.WINDOW_H])
-        pf = win * jnp.asarray(
-            [camera.STATE_W / camera.WINDOW_W, camera.STATE_H / camera.WINDOW_H])
-        d = bw - aw                                          # (S, 2)
-        l2 = jnp.maximum(jnp.sum(d * d, -1), 1e-9)
-        ap = pf[:, :, None, :] - aw                          # (96,96,S,2)
-        t = jnp.clip(jnp.sum(ap * d, -1) / l2, 0.0, 1.0)
-        close = ap - t[..., None] * d
-        dist2 = jnp.sum(close * close, -1)
-        hit = jnp.any((dist2 <= 0.5**2) & seg_ok, -1)
-        img = jnp.where(hit[..., None], jnp.asarray(POINTS_COLOR), img)
-        img_augm = jnp.where(hit[..., None], jnp.asarray(POINTS_COLOR), img_augm)
+        layer = jnp.maximum(layer, _overlay_layer(overlay, wx, wy, car.pos, angle))
 
-    # car polygons (world frame)
-    verts, colors, active = _car_polys(car)
-    for i in range(verts.shape[0]):
-        inside = _point_in_convex(pw, verts[i]) & active[i]
-        img = jnp.where(inside[..., None], colors[i], img)
-        img_augm = jnp.where(inside[..., None], colors[i], img_augm)
+    verts, active = _car_polys(car)
+    layer = jnp.maximum(layer, _poly_layers(px, py, verts, active, L_CAR0))
 
-    # HUD in window coords: black bar + indicator quads
-    hud_rows = win[..., 1] <= 5 * (camera.WINDOW_H / 40.0)
-    img = jnp.where(hud_rows[..., None], 0.0, img)
-    img_augm = jnp.where(hud_rows[..., None], 0.0, img_augm)
-    quads, qcolors = _indicator_quads(car, hull_vel)
-    for i in range(quads.shape[0]):
-        inside = _point_in_convex(win, quads[i])
-        img = jnp.where(inside[..., None], qcolors[i], img)
-        img_augm = jnp.where(inside[..., None], qcolors[i], img_augm)
+    # HUD: black bar over the bottom 5/40 of the window + indicator quads
+    hud_bar = wy <= 5 * (camera.WINDOW_H / 40.0)
+    layer = jnp.maximum(layer, jnp.where(hud_bar, jnp.int32(L_HUD_BAR), 0))
+    quads = _indicator_quads(car, hull_vel)
+    layer = jnp.maximum(
+        layer,
+        _poly_layers(wx, wy, quads, jnp.ones(quads.shape[0], bool), L_HUD0),
+    )
 
-    to_u8 = lambda x: jnp.round(jnp.clip(x, 0, 1) * 255).astype(jnp.uint8)
-    return to_u8(img), to_u8(img_augm)
+    # lanes sit above road/grass but below points/car/HUD: exactly max order
+    layer_augm = jnp.maximum(layer, lane_term)
+
+    return _colorize(layer), _colorize(layer_augm)
 
 
 render_batch = jax.vmap(render, in_axes=(0, 0, None))

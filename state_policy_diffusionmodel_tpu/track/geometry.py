@@ -28,7 +28,12 @@ class TrackGeometry(NamedTuple):
     valid: jax.Array        # (P,) bool, i < n
     n: jax.Array            # () int32 number of tiles
     start: jax.Array        # (3,) car start (angle, x, y)
-    tex: jax.Array          # (T, T, 2) uint8 palette texture [base, lane]
+    tex: jax.Array          # (T, T) uint8 packed palette texture:
+                            #   base_idx * 8 + lane_idx (both < 8).
+                            # Packed single-plane storage keeps the per-step
+                            # window slice a well-tiled 2-D uint8 DMA instead
+                            # of a (T, T, 2) array whose last dim of 2 wastes
+                            # 126/128 TPU lanes.
 
 
 def build(track: Track, tex_size: int = texture.DEFAULT_TEX,
@@ -42,9 +47,10 @@ def build(track: Track, tex_size: int = texture.DEFAULT_TEX,
     prev[n:] = xy[max(n - 1, 0)]
     xy[n:] = xy[max(n - 1, 0)]
     if bake:
-        tex = texture.bake_texture(track, tex_size)
+        t2 = texture.bake_texture(track, tex_size)
+        tex = (t2[..., 0] * np.uint8(8) + t2[..., 1]).astype(np.uint8)
     else:
-        tex = np.zeros((tex_size, tex_size, 2), np.uint8)
+        tex = np.zeros((tex_size, tex_size), np.uint8)
     return TrackGeometry(
         seg_a=jnp.asarray(prev),
         seg_b=jnp.asarray(xy),
@@ -106,5 +112,5 @@ def sample_texture(geom: TrackGeometry, p: jax.Array):
     inb = jnp.all((ij >= 0) & (ij < tex_size), axis=-1)
     ij = jnp.clip(ij, 0, tex_size - 1)
     vals = geom.tex[ij[..., 0], ij[..., 1]]
-    vals = jnp.where(inb[..., None], vals, 0)
-    return vals[..., 0], vals[..., 1]
+    vals = jnp.where(inb, vals, 0)
+    return vals // 8, vals % 8

@@ -62,7 +62,7 @@ def test_texture_bake_contains_road_and_lanes():
     tr = T.make_track(9)
     geom = T.build(tr, bake=True)
     tex = np.asarray(geom.tex)
-    base, lane = tex[..., 0], tex[..., 1]
+    base, lane = tex // 8, tex % 8
     assert set(np.unique(base)) <= {0, 1, 2, 3, 4, 5}
     assert (base >= 1).mean() > 0.005  # road covers some % of the field
     assert set(np.unique(lane)) == {0, 1, 2, 3, 4, 5}
