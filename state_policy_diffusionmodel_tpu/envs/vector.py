@@ -24,6 +24,12 @@ def gather_geom(geoms: TrackGeometry, track_id) -> TrackGeometry:
     return jax.tree.map(lambda x: x[track_id], geoms)
 
 
+def _use_fused_render() -> bool:
+    """The banked Pallas texel sampler only runs on real TPUs; CPU tests and
+    the virtual-device dry run take the per-env XLA path."""
+    return jax.default_backend() == "tpu"
+
+
 def init_batch(geoms: TrackGeometry, track_ids=None):
     if track_ids is None:
         return jax.vmap(env.init)(geoms)
@@ -31,23 +37,48 @@ def init_batch(geoms: TrackGeometry, track_ids=None):
 
 
 def reset_batch(geoms: TrackGeometry, render: bool = True, track_ids=None):
-    f = partial(env.reset, render=render)
+    f = partial(env.reset, render=render and not _use_fused_render())
     if track_ids is None:
-        return jax.vmap(f)(geoms)
-    return jax.vmap(lambda t: f(gather_geom(geoms, t)))(track_ids)
+        states, res = jax.vmap(f)(geoms)
+    else:
+        states, res = jax.vmap(lambda t: f(gather_geom(geoms, t)))(track_ids)
+    if render and _use_fused_render():
+        res = _render_fused(states, res, geoms, track_ids)
+    return states, res
+
+
+def _render_fused(states, res, geoms, track_ids):
+    from ..render.raster import render_batch_banked
+
+    if track_ids is None:
+        track_ids = jnp.arange(res.reward.shape[0], dtype=jnp.int32)
+    obs, augm = render_batch_banked(states.car, geoms.tex, track_ids)
+    return res._replace(obs=obs, augmented=augm)
 
 
 def step_batch(states, geoms, actions, render: bool = True, track_ids=None):
     """states/actions batched on the leading axis; geoms either stacked
     per-env (track_ids=None) or a bank of unique tracks indexed by
-    track_ids (B,)."""
+    track_ids (B,).
+
+    On TPU the 96x96 frames render through the fused banked path (physics
+    vmapped without render, then one batched Pallas texel-sampling kernel +
+    vmapped composition); elsewhere rendering stays inside the vmapped
+    per-env step."""
+    fused = render and _use_fused_render()
+    inner_render = render and not fused
     if track_ids is None:
-        return jax.vmap(
-            lambda s, g, a: env.step(s, g, a, render=render)
+        states, res = jax.vmap(
+            lambda s, g, a: env.step(s, g, a, render=inner_render)
         )(states, geoms, actions)
-    return jax.vmap(
-        lambda s, t, a: env.step(s, gather_geom(geoms, t), a, render=render)
-    )(states, track_ids, actions)
+    else:
+        states, res = jax.vmap(
+            lambda s, t, a: env.step(s, gather_geom(geoms, t), a,
+                                     render=inner_render)
+        )(states, track_ids, actions)
+    if fused:
+        res = _render_fused(states, res, geoms, track_ids)
+    return states, res
 
 
 @partial(jax.jit, static_argnames=("n_steps", "render", "auto_reset"))

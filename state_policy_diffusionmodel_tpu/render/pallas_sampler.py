@@ -1,0 +1,180 @@
+"""Pallas TPU kernel: nearest-texel palette sampling for the rasterizer.
+
+Semantics match `raster._sample_texture_mxu` exactly: for every state-image
+pixel, fetch the packed palette byte of the texel under it (`tex[fi, fj]`,
+0 outside the playfield).  TPU has no per-lane gather, so both paths express
+the lookup as one-hot matmuls over a texture window that covers the whole
+viewport.  The XLA version materializes the (9216, 128) one-hot / row-gather
+intermediates in HBM (~9 MB of traffic per frame — measured ~4x the cost of
+everything else in the renderer, on top of a slow batched dynamic-slice
+gather); this kernel keeps everything in VMEM:
+
+- one grid program per env; a (144, 256) window of the packed texture is
+  DMA'd from the track-texture bank in HBM into VMEM scratch using scalar-
+  prefetched (track_id, oi, oj).  Mosaic requires DMA offsets aligned to the
+  (8, 128) tile, so the window is the tile-aligned superset of the exact
+  (122-texel-diagonal) viewport window; the exact 128-col window is then cut
+  out in-register with a dynamic lane slice.
+- the pixel->texel map is recomputed in-kernel from 4 camera scalars and two
+  constant (72, 128) coordinate planes (camera-frame rx, ry) — no per-pixel
+  inputs at all;
+- per image-plane row r (128 px on lanes): one-hots are built transposed,
+  ohT[i, p] = (li[p] == i), naturally (sublane=i, lane=p);
+  rowsT = winT @ ohiT puts texel columns on sublanes; the j-selection is an
+  elementwise multiply + sublane reduction landing back on lanes, so
+  out[r, :] is written directly.  No relayouts anywhere.
+- one-hot products are exact in bf16 (palette bytes < 48) and the f32
+  accumulation is exact, hence identical to the XLA path up to FMA
+  contraction differences in the float pixel->texel map (boundary texels).
+
+The window origin is computed analytically from the viewport center: the
+96x96 viewport spans at most ~61.5 texels from its center at the fixed zoom
+and default 1024-texel bake, so center-64 always covers it (clamped at the
+field edge).  See `window_origin`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..track.generator import PLAYFIELD
+
+WIN_I = 144        # aligned row window: covers 8-aligned origin + 134 span
+WIN_J = 256        # aligned col window: covers 128-aligned origin + 191 span
+ROWS = 72          # 96*96 px = (72, 128) planes
+LANES = 128
+
+
+def window_origin(tex_size: int, cos_a, sin_a, pos):
+    """Analytic covering-window origins per env.
+
+    The viewport center in world coords sits at window (W/2, H/2), i.e.
+    camera-frame (rx, ry) = (0, 200/16.2); texel row/col minus 64 covers
+    every visible pixel (viewport diagonal/2 = 39.5 world units = 60.7
+    texels at the default bake).  Returns (oi, oj, oj_al): oi 8-aligned,
+    oj exact (row window is sliced in-register), oj_al 128-aligned.
+    """
+    assert tex_size <= 1024, "window coverage assumes <= 1024-texel bake"
+    ry0 = 200.0 / 16.2
+    cx = sin_a * ry0 + pos[..., 0]
+    cy = cos_a * ry0 + pos[..., 1]
+    s = tex_size / (2.0 * PLAYFIELD)
+    fi_c = jnp.floor((cx + PLAYFIELD) * s).astype(jnp.int32)
+    fj_c = jnp.floor((cy + PLAYFIELD) * s).astype(jnp.int32)
+    oi = jnp.clip((fi_c - 64) & ~7, 0, tex_size - WIN_I)
+    oj = jnp.clip(fj_c - 64, 0, tex_size - LANES)
+    oj_al = jnp.clip(oj & ~127, 0, tex_size - WIN_J)
+    return oi, oj, oj_al
+
+
+def _kernel(scal_all_ref, scal_f_ref, tex_ref, rx_ref, ry_ref, out_ref,
+            win_sc, sem, *, tex_size: int):
+    b = pl.program_id(0)
+    n = pl.num_programs(0)
+    oj = scal_all_ref[b, 0, 2]
+
+    def win_dma(idx, slot):
+        tid = scal_all_ref[idx, 0, 0]
+        oi = pl.multiple_of(scal_all_ref[idx, 0, 1], 8)
+        oj_al = pl.multiple_of(scal_all_ref[idx, 0, 3], 128)
+        return pltpu.make_async_copy(
+            tex_ref.at[tid, pl.ds(oi, WIN_I), pl.ds(oj_al, WIN_J)],
+            win_sc.at[slot], sem.at[slot])
+
+    # double-buffered window DMA: program b computes from slot b%2 while
+    # program b+1's window streams into the other slot
+    slot = jax.lax.rem(b, 2)
+
+    @pl.when(b == 0)
+    def _():
+        win_dma(0, 0).start()
+
+    @pl.when(b + 1 < n)
+    def _():
+        win_dma(b + 1, jax.lax.rem(b + 1, 2)).start()
+
+    win_dma(b, slot).wait()
+
+    c = scal_f_ref[0, 0, 0]
+    s = scal_f_ref[0, 0, 1]
+    px = c * rx_ref[...] + s * ry_ref[...] + scal_f_ref[0, 0, 2]
+    py = -s * rx_ref[...] + c * ry_ref[...] + scal_f_ref[0, 0, 3]
+    scale = tex_size / (2.0 * PLAYFIELD)
+    fx = (px + PLAYFIELD) * scale
+    fy = (py + PLAYFIELD) * scale
+    infield = ((fx >= 0) & (fx < tex_size) & (fy >= 0) & (fy < tex_size))
+    oi = scal_all_ref[b, 0, 1]
+    li = jnp.floor(fx).astype(jnp.int32) - oi        # (72, 128) in [0, 144)
+    lj = jnp.floor(fy).astype(jnp.int32) - oj        # (72, 128) in [0, 128)
+
+    # cut the exact 128-col window out of the aligned 256-col DMA with a
+    # dynamic lane rotation (Mosaic has no dynamic_slice on values and only
+    # rotates 32-bit data)
+    oj_al = pl.multiple_of(scal_all_ref[b, 0, 3], 128)
+    win = pltpu.roll(win_sc[slot].astype(jnp.int32), -(oj - oj_al), 1)
+    win_t = win[:, :LANES].astype(jnp.bfloat16).T    # winT[j, i] = win[i, j]
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (WIN_I, LANES), 0)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+
+    for r in range(ROWS):
+        ohi_t = (iota_i == li[r, :][None, :]).astype(jnp.bfloat16)   # (i, p)
+        ohj_t = (iota_j == lj[r, :][None, :]).astype(jnp.float32)    # (j, p)
+        rows_t = jnp.dot(win_t, ohi_t,
+                         preferred_element_type=jnp.float32)          # (j, p)
+        vals = jnp.sum(rows_t * ohj_t, axis=0)                        # (p,)
+        out_ref[0, r, :] = jnp.where(infield[r, :], vals.astype(jnp.int32), 0)
+
+
+def sample_banked(tex_bank: jax.Array, track_ids: jax.Array,
+                  cos_a: jax.Array, sin_a: jax.Array, pos: jax.Array,
+                  rx: jax.Array, ry: jax.Array) -> jax.Array:
+    """Batched nearest-texel fetch from a bank of track textures.
+
+    tex_bank:  (U, T, T) uint8 packed palette textures (base*8+lane)
+    track_ids: (B,) int32
+    cos_a, sin_a: (B,) camera rotation
+    pos:       (B, 2) camera scroll (car position)
+    rx, ry:    (72, 128) constant camera-frame pixel planes
+    returns:   (B, 72, 128) int32 packed palette values (0 off-field)
+    """
+    B = track_ids.shape[0]
+    tex_size = tex_bank.shape[-1]
+    oi, oj, oj_al = window_origin(tex_size, cos_a, sin_a, pos)
+    scal_i = jnp.stack([track_ids.astype(jnp.int32), oi, oj, oj_al],
+                       -1)[:, None, :]                         # (B, 1, 4)
+    scal_f = jnp.stack([cos_a, sin_a, pos[:, 0], pos[:, 1]], -1)[:, None, :]
+
+    # per-program (1, 4) SMEM blocks: scalar-prefetch would allocate scoped
+    # SMEM for the whole (B, 4) operands and overflows at B=1024, and no
+    # index map needs the scalars anyway.
+    grid_spec = pl.GridSpec(
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # int scalars
+                                                               # (full array:
+                                                               # b+1 prefetch)
+            pl.BlockSpec((1, 1, 4), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),             # f32 scalars
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # texture bank
+            pl.BlockSpec((ROWS, LANES), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),             # rx (const)
+            pl.BlockSpec((ROWS, LANES), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),             # ry (const)
+        ],
+        out_specs=pl.BlockSpec((1, ROWS, LANES), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, WIN_I, WIN_J), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, tex_size=tex_size),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, ROWS, LANES), jnp.int32),
+    )(scal_i, scal_f, tex_bank, rx.astype(jnp.float32), ry.astype(jnp.float32))

@@ -381,12 +381,13 @@ def _colorize(layer: jax.Array) -> jax.Array:
     return rgb.astype(jnp.uint8).reshape(camera.STATE_H, camera.STATE_W, 3)
 
 
-def render(
+def _compose(
     car: CarState,
-    geom: TrackGeometry,
+    base_idx: jax.Array,
+    lane_idx: jax.Array,
     overlay: Optional[Overlay] = None,
 ):
-    """Render one env. Returns (state, augmented): (96, 96, 3) uint8 each."""
+    """Everything after texel sampling: layer composition + colorization."""
     hull_vel = hull_com_velocity(car)
     angle = camera.camera_angle(car.angle, hull_vel)
     wx, wy, rx, ry = _pixel_planes()
@@ -395,8 +396,6 @@ def render(
     py = -s * rx + c * ry + car.pos[1]
 
     layer = _background_layer(px, py)
-
-    base_idx, lane_idx = _sample_texture_mxu(geom, px, py)
     layer = jnp.maximum(layer, jnp.where(base_idx > 0, base_idx + (L_BASE0 - 1), 0))
     lane_term = jnp.where(lane_idx > 0, lane_idx + (L_LANE0 - 1), 0)
 
@@ -421,4 +420,46 @@ def render(
     return _colorize(layer), _colorize(layer_augm)
 
 
+def render(
+    car: CarState,
+    geom: TrackGeometry,
+    overlay: Optional[Overlay] = None,
+):
+    """Render one env. Returns (state, augmented): (96, 96, 3) uint8 each."""
+    hull_vel = hull_com_velocity(car)
+    angle = camera.camera_angle(car.angle, hull_vel)
+    _, _, rx, ry = _pixel_planes()
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    px = c * rx + s * ry + car.pos[0]
+    py = -s * rx + c * ry + car.pos[1]
+    base_idx, lane_idx = _sample_texture_mxu(geom, px, py)
+    return _compose(car, base_idx, lane_idx, overlay)
+
+
 render_batch = jax.vmap(render, in_axes=(0, 0, None))
+
+
+def render_batch_banked(
+    cars: CarState,
+    tex_bank: jax.Array,
+    track_ids: jax.Array,
+    overlay: Optional[Overlay] = None,
+):
+    """Batched render against a bank of track textures (TPU fast path).
+
+    Texel sampling runs as one Pallas kernel over the whole batch (window
+    DMA + one-hot matmuls fused in VMEM, see render/pallas_sampler.py);
+    composition stays vmapped XLA.  cars batched (B, ...); tex_bank
+    (U, T, T) uint8; track_ids (B,).
+    """
+    from . import pallas_sampler
+
+    hull_vel = jax.vmap(hull_com_velocity)(cars)
+    angle = jax.vmap(camera.camera_angle)(cars.angle, hull_vel)
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    _, _, rx, ry = _pixel_planes()
+    vals = pallas_sampler.sample_banked(
+        tex_bank, track_ids, c, s, cars.pos, rx, ry)
+    base_idx, lane_idx = vals // 8, vals % 8
+    return jax.vmap(lambda car, b, l: _compose(car, b, l, overlay))(
+        cars, base_idx, lane_idx)

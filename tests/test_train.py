@@ -92,7 +92,7 @@ def test_trainer_end_to_end(tmp_path):
     pol = diffusion.DiffusionPolicy(cfg)
     tcfg = train.TrainConfig(epochs=2, batch_size=8, lr=3e-4, seed=0)
     trainer = train.Trainer(pol, tcfg, str(tmp_path / "run"))
-    dm = _synthetic_module()
+    dm = _synthetic_module(n_steps=120)  # small: the loop, not the loss
     out = trainer.fit(dm)
     assert len(out["history"]["train_loss"]) == 2
     # checkpoints + sidecars exist
