@@ -212,30 +212,57 @@ def _sample_texture_mxu(geom: TrackGeometry, px: jax.Array, py: jax.Array):
     return vals // 8, vals % 8
 
 
-def _poly_layers(px, py, verts, active, layer0):
+def _poly_layers(px, py, verts, active, layer0,
+                 counts=None, winding=None):
     """Fold convex polygons into a layer-index plane by draw order.
 
     verts: (N, MAXV, 2) world-frame; active: (N,) bool; polygon i gets
-    palette index layer0 + i.  The inside test replicates the reference
-    renderer's epsilon cross-product test per edge (either winding).
+    palette index layer0 + i.  The inside test is the reference renderer's
+    epsilon cross-product test per edge.
+
+    counts: static per-poly vertex counts (padding vertices are degenerate
+    repeats whose zero edges always pass — skipping them halves the VPU
+    work).  winding: per-poly 'cw' / 'ccw' / 'both' — rigid transforms
+    preserve orientation, so statically-wound polys need only one of the
+    two winding reductions ('both' is only needed for the wheel rims, whose
+    quad flips orientation with the rotation phase).
     Returns an int32 plane (0 where no polygon covers the pixel).
     """
     n, nv = verts.shape[0], verts.shape[1]
+    counts = counts or (nv,) * n
+    winding = winding or ("both",) * n
     layer = jnp.zeros(FLAT, jnp.int32)
     for i in range(n):
         cmax = None
         cmin = None
-        for e in range(nv):
+        want_max = winding[i] in ("cw", "both")
+        want_min = winding[i] in ("ccw", "both")
+        for e in range(counts[i]):
             ax = verts[i, e, 0]
             ay = verts[i, e, 1]
-            e0 = verts[i, (e + 1) % nv, 0] - ax
-            e1 = verts[i, (e + 1) % nv, 1] - ay
+            e0 = verts[i, (e + 1) % counts[i], 0] - ax
+            e1 = verts[i, (e + 1) % counts[i], 1] - ay
             cross = e0 * (py - ay) - e1 * (px - ax)
-            cmax = cross if cmax is None else jnp.maximum(cmax, cross)
-            cmin = cross if cmin is None else jnp.minimum(cmin, cross)
-        inside = ((cmax <= 1e-6) | (cmin >= -1e-6)) & active[i]
-        layer = jnp.where(inside, jnp.int32(layer0 + i), layer)
+            if want_max:
+                cmax = cross if cmax is None else jnp.maximum(cmax, cross)
+            if want_min:
+                cmin = cross if cmin is None else jnp.minimum(cmin, cross)
+        if winding[i] == "cw":
+            inside = cmax <= 1e-6
+        elif winding[i] == "ccw":
+            inside = cmin >= -1e-6
+        else:
+            inside = (cmax <= 1e-6) | (cmin >= -1e-6)
+        layer = jnp.where(inside & active[i], jnp.int32(layer0 + i), layer)
     return layer
+
+
+# car polygon metadata (draw order wheel0, rim0, ..., hull1..4): vertex
+# counts and orientations of the static tables above. The rims ('both')
+# flip winding with the rotation phase.
+CAR_COUNTS = (4, 4) * 4 + tuple(
+    len(p) for p in (C.HULL_POLY1, C.HULL_POLY2, C.HULL_POLY3, C.HULL_POLY4))
+CAR_WINDING = ("cw", "both") * 4 + ("cw", "cw", "cw", "ccw")
 
 
 def _wheel_stripe(phase):
@@ -300,6 +327,23 @@ def _indicator_quads(car: CarState, hull_vel):
         horiz(20.0, -10.0 * car.joint_angle[0]),
         horiz(30.0, -0.8 * car.angular_vel),
     ])
+
+
+def _hud_layer(wx, wy, car: CarState, hull_vel):
+    """HUD bar + indicator quads as a layer plane.  The quads are all
+    axis-aligned rectangles in window coords (car_racing.py:713-773), so the
+    inside test is four compares instead of per-edge cross products."""
+    quads = _indicator_quads(car, hull_vel)            # (7, 4, 2)
+    xs, ys = quads[..., 0], quads[..., 1]
+    x0, x1 = jnp.min(xs, -1), jnp.max(xs, -1)          # (7,)
+    y0, y1 = jnp.min(ys, -1), jnp.max(ys, -1)
+    layer = jnp.where(wy <= 5 * (camera.WINDOW_H / 40.0),
+                      jnp.int32(L_HUD_BAR), 0)
+    for i in range(quads.shape[0]):
+        inside = ((wx >= x0[i]) & (wx <= x1[i]) &
+                  (wy >= y0[i]) & (wy <= y1[i]))
+        layer = jnp.where(inside, jnp.int32(L_HUD0 + i), layer)
+    return layer
 
 
 def _car_polys(car: CarState):
@@ -403,16 +447,11 @@ def _compose(
         layer = jnp.maximum(layer, _overlay_layer(overlay, wx, wy, car.pos, angle))
 
     verts, active = _car_polys(car)
-    layer = jnp.maximum(layer, _poly_layers(px, py, verts, active, L_CAR0))
+    layer = jnp.maximum(layer, _poly_layers(px, py, verts, active, L_CAR0,
+                                            CAR_COUNTS, CAR_WINDING))
 
     # HUD: black bar over the bottom 5/40 of the window + indicator quads
-    hud_bar = wy <= 5 * (camera.WINDOW_H / 40.0)
-    layer = jnp.maximum(layer, jnp.where(hud_bar, jnp.int32(L_HUD_BAR), 0))
-    quads = _indicator_quads(car, hull_vel)
-    layer = jnp.maximum(
-        layer,
-        _poly_layers(wx, wy, quads, jnp.ones(quads.shape[0], bool), L_HUD0),
-    )
+    layer = jnp.maximum(layer, _hud_layer(wx, wy, car, hull_vel))
 
     # lanes sit above road/grass but below points/car/HUD: exactly max order
     layer_augm = jnp.maximum(layer, lane_term)

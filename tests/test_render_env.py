@@ -113,3 +113,74 @@ def test_vector_rollout(geom):
     assert bool(jnp.all(jnp.isfinite(traj.reward)))
     # cars moved
     assert float(jnp.abs(states.car.vel).max()) > 0.5
+
+
+def test_window_origin_covers_viewport():
+    """The Pallas sampler's analytic (oi, oj) window must cover every
+    in-field pixel's texel for any camera pose (pallas_sampler.window_origin)."""
+    from state_policy_diffusionmodel_tpu.render import pallas_sampler as ps
+    from state_policy_diffusionmodel_tpu.render.raster import _pixel_planes
+    from state_policy_diffusionmodel_tpu.track.generator import PLAYFIELD
+
+    _, _, rx, ry = jax.jit(_pixel_planes)()
+    rx, ry = np.asarray(rx), np.asarray(ry)
+    rng = np.random.default_rng(0)
+    T_ = 1024
+    s = T_ / (2.0 * PLAYFIELD)
+    for _ in range(50):
+        ang = rng.uniform(-np.pi, np.pi)
+        pos = rng.uniform(-PLAYFIELD, PLAYFIELD, 2).astype(np.float32)
+        c, si = np.cos(ang, dtype=np.float32), np.sin(ang, dtype=np.float32)
+        px = c * rx + si * ry + pos[0]
+        py = -si * rx + c * ry + pos[1]
+        fx, fy = (px + PLAYFIELD) * s, (py + PLAYFIELD) * s
+        fi = np.floor(fx).astype(int)
+        fj = np.floor(fy).astype(int)
+        infield = (fx >= 0) & (fx < T_) & (fy >= 0) & (fy < T_)
+        oi, oj, oj_al = jax.jit(
+            lambda ca, sa, p: ps.window_origin(T_, ca, sa, p)
+        )(jnp.float32(c), jnp.float32(si), jnp.asarray(pos))
+        oi, oj, oj_al = int(oi), int(oj), int(oj_al)
+        assert oi % 8 == 0 and oj_al % 128 == 0
+        li, lj = fi - oi, fj - oj
+        lj_al = fj - oj_al
+        assert li[infield].min() >= 0 and li[infield].max() < ps.WIN_I
+        assert lj[infield].min() >= 0 and lj[infield].max() < ps.LANES
+        assert lj_al[infield].max() < ps.WIN_J
+
+
+def test_palette_matches_float_rounding():
+    """PALETTE_U8 must equal round(clip(c)*255) of every f32 layer color
+    (one-hot matmul colorization is exact integer math on these)."""
+    from state_policy_diffusionmodel_tpu.render import raster
+    from state_policy_diffusionmodel_tpu.track import texture as tx
+
+    pal = raster.PALETTE_U8
+    ref = lambda c: np.asarray(
+        jnp.round(jnp.clip(jnp.asarray(c, jnp.float32), 0, 1) * 255)
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(pal[raster.L_OUTFIELD], ref(tx.OUTFIELD))
+    np.testing.assert_array_equal(pal[raster.L_GRASS_DARK], ref(tx.GRASS_DARK))
+    np.testing.assert_array_equal(pal[raster.L_GRASS_LIGHT], ref(tx.GRASS_LIGHT))
+    for k in range(1, 6):
+        np.testing.assert_array_equal(pal[raster.L_BASE0 + k - 1],
+                                      ref(tx.BASE_PALETTE[k]))
+        np.testing.assert_array_equal(pal[raster.L_LANE0 + k - 1],
+                                      ref(tx.LANE_PALETTE[k]))
+    np.testing.assert_array_equal(pal[raster.L_CAR0 + 8], ref([0.8, 0.0, 0.0]))
+    np.testing.assert_array_equal(pal[raster.L_CAR0 + 1], ref([0.3, 0.3, 0.3]))
+
+
+def test_render_overlay_draws_red_points(geom, reset_state):
+    state, res0 = reset_state
+    from state_policy_diffusionmodel_tpu.render import Overlay
+
+    pts = jnp.stack([jnp.stack([state.car.pos + jnp.array([i * 2.0, j * 3.0])
+                                for j in range(4)]) for i in range(2)])
+    ov = Overlay(points=pts, valid=jnp.array([True, False]))
+    obs, augm = jax.jit(render)(state.car, geom, ov)
+    obs0 = np.asarray(res0.obs)
+    obs = np.asarray(obs)
+    red = (obs[..., 0] == 255) & (obs[..., 1] == 0) & (obs[..., 2] == 0)
+    red0 = (obs0[..., 0] == 255) & (obs0[..., 1] == 0) & (obs0[..., 2] == 0)
+    assert red.sum() > red0.sum()  # overlay added red pixels
