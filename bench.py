@@ -118,14 +118,19 @@ def bench_policy(n_envs: int, repeats: int):
     pol = diffusion.DiffusionPolicy(cfg)
     params = pol.init_params(jax.random.key(0))
 
-    geoms = build_geoms(n_envs, min(4, n_envs), bake=True)
-    states, res0 = envs.vector.reset_batch(geoms, render=True)
+    n_unique = min(4, n_envs)
+    geoms = build_geoms(n_unique, n_unique, bake=True)
+    track_ids = jnp.arange(n_envs, dtype=jnp.int32) % n_unique
+    states, res0 = envs.vector.reset_batch(geoms, render=True,
+                                           track_ids=track_ids)
 
     T_obs = cfg.obs_horizon
     n_frames = cfg.step_size * 10  # 10 policy invocations per measured run
 
     def rollout(states, obs_hist, rng):
-        """obs_hist: dict of (B, T_obs, ...) rolling windows."""
+        """obs_hist: dict of (B, T_obs, ...) rolling windows; images are
+        cached as encoder features (each frame encoded once, not re-encoded
+        per denoise pass)."""
 
         def policy_step(carry, _):
             states, hist, rng, actions_queue, k = carry
@@ -139,13 +144,15 @@ def bench_policy(n_envs: int, repeats: int):
                 k % cfg.step_size == 0, denoise,
                 lambda _: actions_queue, None)
             a = actions_queue[:, (k // cfg.step_size) % cfg.pred_horizon]
-            states, res = envs.vector.step_batch(states, geoms, a, render=True)
+            states, res = envs.vector.step_batch(states, geoms, a, render=True,
+                                                 track_ids=track_ids)
             # roll the obs history
             def roll(h, new):
                 return jnp.concatenate([h[:, 1:], new[:, None]], axis=1)
+            feats = pol.encode_images(
+                params, (res.obs.astype(jnp.float32) / 255.0)[:, None])
             hist = {
-                "image": roll(hist["image"],
-                              res.obs.astype(jnp.float32) / 255.0),
+                "image_features": roll(hist["image_features"], feats[:, 0]),
                 "position": roll(hist["position"], res.info.car_position),
                 "velocity": roll(hist["velocity"], res.info.car_velocity),
                 "action": roll(hist["action"], a),
@@ -160,7 +167,7 @@ def bench_policy(n_envs: int, repeats: int):
 
     rollout = jax.jit(rollout)
     hist = {
-        "image": jnp.zeros((n_envs, T_obs, 96, 96, 3)),
+        "image_features": jnp.zeros((n_envs, T_obs, cfg.vision_latent)),
         "position": jnp.zeros((n_envs, T_obs, 2)),
         "velocity": jnp.zeros((n_envs, T_obs, 2)),
         "action": jnp.zeros((n_envs, T_obs, 3)),

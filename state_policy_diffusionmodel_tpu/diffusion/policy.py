@@ -113,12 +113,18 @@ class DiffusionPolicy:
     def obs_cond(self, params, batch: Dict[str, jax.Array]) -> jax.Array:
         """Concatenated conditioning over the obs horizon -> (B, T_obs*obs_dim).
 
-        diffusion_ddpm.py:317-330."""
+        diffusion_ddpm.py:317-330.  Closed-loop callers may pass precomputed
+        `image_features` (B, T, latent) instead of `image` — encoding each
+        incoming frame once instead of re-encoding the whole window every
+        denoise pass."""
         T = self.config.obs_horizon
         parts = [batch["position"][:, :T], batch["action"][:, :T],
                  batch["velocity"][:, :T]]
         if self.encoder is not None:
-            feats = self.encode_images(params, batch["image"][:, :T])
+            if "image_features" in batch:
+                feats = batch["image_features"][:, :T]
+            else:
+                feats = self.encode_images(params, batch["image"][:, :T])
             if not self.config.train_encoder:
                 feats = jax.lax.stop_gradient(feats)
             parts.append(feats)

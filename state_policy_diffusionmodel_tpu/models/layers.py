@@ -80,6 +80,34 @@ def upsample_align_corners(x: jax.Array, factor: int = 2) -> jax.Array:
     return x
 
 
+class Conv3x3(nn.Module):
+    """3x3 same-padding conv expressed as an im2col matmul.
+
+    Identical math and parameter shape/init to
+    `nn.Conv(features, (3, 3), padding=1, use_bias=False)`, but XLA's TPU
+    conv emitter takes ~10-20 s to compile EACH tiny-spatial conv of the
+    denoiser (32x8 feature maps; ~20 convs made one U-Net forward take 355 s
+    to compile, measured).  Nine static shifted slices + one dot compile in
+    well under a second and map onto better MXU shapes at these sizes.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, Cin = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, Cin, self.features))
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        patches = jnp.concatenate(
+            [xp[:, i:i + H, j:j + W, :] for i in range(3) for j in range(3)],
+            axis=-1)                                   # (B, H, W, 9*Cin)
+        w = kernel.reshape(9 * Cin, self.features)     # (i, j, cin) row-major
+        return jax.lax.dot_general(
+            patches, w, (((3,), (0,)), ((), ())),
+            preferred_element_type=x.dtype)
+
+
 class DoubleConv(nn.Module):
     out_channels: int
     residual: bool = False
@@ -90,13 +118,13 @@ class DoubleConv(nn.Module):
         mid = self.mid_channels or self.out_channels
         x_res = x
         norm = nn.GroupNorm(num_groups=1)  # one instance, applied twice
-        x = nn.Conv(mid, (3, 3), padding=1, use_bias=False)(x)
+        x = Conv3x3(mid)(x)
         if mid == self.out_channels:
             x = norm(x)
         else:
             x = nn.GroupNorm(num_groups=1)(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False)(x)
+        x = Conv3x3(self.out_channels)(x)
         x = norm(x)
         if self.residual:
             return nn.gelu(x + x_res, approximate=False)
