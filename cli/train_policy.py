@@ -32,6 +32,12 @@ def parse_arguments():
     p.add_argument("--amp", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--version", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the latest checkpoint in the run dir "
+                        "(requires --version of an existing run)")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler device trace of the first "
+                        "training steps into this directory")
     return p.parse_args()
 
 
@@ -78,7 +84,13 @@ def main():
         params = policy.init_params(jax.random.key(0), encoder_params=enc)
 
     trainer = train.Trainer(policy, tcfg, out_dir)
-    result = trainer.fit(dm, params=params)
+    if args.profile_dir:
+        from state_policy_diffusionmodel_tpu.utils import profiling
+
+        with profiling.trace(args.profile_dir):
+            result = trainer.fit(dm, params=params, resume=args.resume)
+    else:
+        result = trainer.fit(dm, params=params, resume=args.resume)
     print(f"done; final lr {result['lr']}, artifacts in {out_dir}")
 
 

@@ -70,6 +70,43 @@ def latest_checkpoint(out_dir: str) -> Optional[str]:
     return checkpoint_dir(out_dir, max(epochs))
 
 
+def save_train_state(out_dir: str, opt_state, meta: Dict[str, Any]) -> str:
+    """Resume sidecar: optimizer state (orbax/npz) + host metadata (yaml).
+
+    Written once per epoch (latest-only); together with the per-epoch params
+    checkpoint this makes training resumable mid-run — a capability the
+    reference gets from Lightning's ckpt format (train.py:96-100) but never
+    wires up."""
+    path = os.path.join(out_dir, "trainer_state")
+    if ocp is not None:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(os.path.join(path, "opt")),
+                   jax.device_get(opt_state), force=True)
+        ckptr.wait_until_finished()
+    else:
+        os.makedirs(os.path.join(path, "opt"), exist_ok=True)
+        flat = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(opt_state))[0]
+        np.savez(os.path.join(path, "opt", "params.npz"),
+                 **{jax.tree_util.keystr(k): np.asarray(v) for k, v in flat})
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.yaml"), "w") as f:
+        yaml.safe_dump(meta, f)
+    return path
+
+
+def load_train_state(out_dir: str, like_opt_state):
+    """Returns (opt_state, meta) or None if no resume sidecar exists."""
+    path = os.path.join(out_dir, "trainer_state")
+    meta_path = os.path.join(path, "meta.yaml")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        meta = yaml.safe_load(f)
+    opt = load_checkpoint(os.path.join(path, "opt"), like_opt_state)
+    return opt, meta
+
+
 def save_hparams(out_dir: str, policy_config, train_config=None) -> str:
     """hparams.yaml with the policy + train config (Lightning
     save_hyperparameters parity, diffusion_ddpm.py:38)."""

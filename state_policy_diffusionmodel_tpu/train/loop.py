@@ -113,7 +113,7 @@ class Trainer:
         return float(np.mean(losses)) if losses else float("nan")
 
     def fit(self, dm: DataModule, params: Optional[Dict] = None,
-            sample_hook=None) -> Dict:
+            sample_hook=None, resume: bool = False) -> Dict:
         cfg = self.config
         rng = jax.random.key(cfg.seed)
         rng, init_rng = jax.random.split(rng)
@@ -124,8 +124,23 @@ class Trainer:
 
         plateau = ReduceLROnPlateau(lr=cfg.lr)
         lr = cfg.lr
+        start_epoch = 0
+        if resume:
+            latest = ckpt_lib.latest_checkpoint(self.out_dir)
+            state = ckpt_lib.load_train_state(self.out_dir,
+                                              jax.device_get(opt_state))
+            if latest is not None and state is not None:
+                params = replicate(
+                    ckpt_lib.load_checkpoint(latest, jax.device_get(params)),
+                    self.mesh)
+                opt_state, meta = state
+                start_epoch = int(meta["epoch"]) + 1
+                lr = float(meta["lr"])
+                plateau = ReduceLROnPlateau(
+                    lr=lr, best=float(meta.get("best_val", np.inf)))
+                self._log({"event": "resume", "epoch": start_epoch, "lr": lr})
         n_dev = self.mesh.devices.size
-        host_rng = np.random.default_rng(cfg.seed)
+        host_rng = np.random.default_rng(cfg.seed + start_epoch)
 
         # pre-fit validation materializes the run dir + stats sidecar
         # (reference train.py:122-125)
@@ -141,7 +156,7 @@ class Trainer:
         history = {"train_loss": [], "val_loss": []}
         stop = False
 
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             if stop:
                 break
             t0 = time.time()
@@ -174,9 +189,16 @@ class Trainer:
 
             history["train_loss"].append(float(np.mean(epoch_losses)))
             ckpt_lib.save_checkpoint(self.out_dir, params, epoch)
+            ckpt_lib.save_train_state(self.out_dir, opt_state, {
+                "epoch": epoch, "lr": float(lr),
+                "best_val": float(plateau.best)})
+            dt = time.time() - t0
             self._log({"event": "epoch", "epoch": epoch,
                        "train_loss": history["train_loss"][-1],
-                       "seconds": time.time() - t0})
+                       "seconds": dt,
+                       "steps_per_sec": len(epoch_losses) / max(dt, 1e-9),
+                       "samples_per_sec":
+                           len(epoch_losses) * cfg.batch_size / max(dt, 1e-9)})
 
         return {"params": params, "opt_state": opt_state, "history": history,
                 "lr": lr}

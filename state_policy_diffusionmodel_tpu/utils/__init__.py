@@ -1,3 +1,3 @@
-from . import plotting, printing
+from . import plotting, printing, profiling
 
-__all__ = ["plotting", "printing"]
+__all__ = ["plotting", "printing", "profiling"]

@@ -108,3 +108,41 @@ def test_trainer_end_to_end(tmp_path):
     # hparams round trip
     hp = train.checkpoints.load_hparams(str(tmp_path / "run" / "hparams.yaml"))
     assert hp["obs_horizon"] == 4 and hp["observation_dim"] == 7
+
+
+@pytest.mark.slow
+def test_trainer_resume(tmp_path):
+    cfg = diffusion.PolicyConfig(
+        noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
+        model="UNet", vision_encoder="none", step_size=2)
+    pol = diffusion.DiffusionPolicy(cfg)
+    dm = _synthetic_module(n_steps=120)
+
+    tcfg1 = train.TrainConfig(epochs=1, batch_size=8, lr=3e-4, seed=0)
+    t1 = train.Trainer(pol, tcfg1, str(tmp_path / "run"))
+    t1.fit(dm)
+
+    tcfg2 = train.TrainConfig(epochs=2, batch_size=8, lr=3e-4, seed=0)
+    t2 = train.Trainer(pol, tcfg2, str(tmp_path / "run"))
+    out = t2.fit(dm, resume=True)
+    # epoch 0 already done: resumed run trains exactly one more epoch
+    assert len(out["history"]["train_loss"]) == 1
+    assert train.checkpoints.latest_checkpoint(
+        str(tmp_path / "run")).endswith("epoch=1")
+    # resume event logged
+    import json
+    events = [json.loads(l)["event"]
+              for l in open(tmp_path / "run" / "metrics.jsonl")]
+    assert "resume" in events
+
+
+def test_step_timer_and_timed():
+    from state_policy_diffusionmodel_tpu.utils import profiling
+    st = profiling.StepTimer()
+    for _ in range(5):
+        st.tick(16)
+    snap = st.snapshot()
+    assert snap["steps"] == 5 and snap["items_per_sec"] > 0
+    with profiling.timed("phase") as t:
+        pass
+    assert t.seconds >= 0
