@@ -32,6 +32,9 @@ def parse_args():
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--seed0", type=int, default=43)
     p.add_argument("--zip", action="store_true", dest="make_zip")
+    p.add_argument("--save_states", action="store_true",
+                   help="pickle per-step raw sim states next to the dataset "
+                        "(states_list.pkl, generateParallelTraj.py:77-80)")
     return p.parse_args()
 
 
@@ -60,9 +63,19 @@ def main():
         episodes = collect_episodes(
             seeds, driver=args.driver, mode=mode,
             target_velocity=float(args.velocities[0]),
-            amplitude=args.amplitude, n_steps=args.steps, progress=True)
+            amplitude=args.amplitude, n_steps=args.steps, progress=True,
+            return_states=args.save_states)
+        states_hist = []
         for ep in episodes:
+            if args.save_states:
+                states_hist.append(ep.pop("car_state"))
             buffer.add_episode(ep)
+        if args.save_states:
+            import pickle
+
+            with open(os.path.join(os.path.dirname(out),
+                                   "states_list.pkl"), "wb") as f:
+                pickle.dump(states_hist, f)
 
     buffer.save_to_path(out, chunk_length=args.chunk_len,
                         make_zip=args.make_zip)

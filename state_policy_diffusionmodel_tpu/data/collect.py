@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import control, envs
+from .. import control, envs, physics
 from ..track import build as build_track, make_track, stack as stack_tracks
 from ..track.geometry import TrackGeometry
 from .replay_buffer import ReplayBuffer
@@ -56,7 +56,8 @@ def _collect_chunk(states, results, ctrl_states, geoms, ctrl_params,
             "angle": res.info.car_angle,
         }
         state, res = envs.vector.step_batch(state, geoms, action)
-        record = dict(record_pre, img=res.obs, action=action)
+        record = dict(record_pre, img=res.obs, action=action,
+                      car_state=jax.vmap(physics.save_state)(state.car))
         return (state, res, ctrl), record
 
     (states, results, ctrl_states), records = jax.lax.scan(
@@ -75,6 +76,7 @@ def collect_episodes(
     chunk: int = 250,
     geoms: Optional[TrackGeometry] = None,
     progress: bool = False,
+    return_states: bool = False,
 ) -> list[Dict[str, np.ndarray]]:
     """Run B = len(seeds) episodes in parallel; returns per-episode dicts in
     the reference dataset schema (img/velocity/position/action/angle)."""
@@ -107,13 +109,24 @@ def collect_episodes(
     merged = jax.tree.map(lambda *xs: np.concatenate(xs, 0), *host_records)
     episodes = []
     for b in range(B):
-        episodes.append({
+        ep = {
             "img": merged["img"][:, b].astype(np.float32) / 255.0,
             "velocity": merged["velocity"][:, b].astype(np.float32),
             "position": merged["position"][:, b].astype(np.float32),
             "action": np.nan_to_num(merged["action"][:, b].astype(np.float32)),
             "angle": merged["angle"][:, b].astype(np.float32),
-        })
+        }
+        if driver == "sinusoidal":
+            # reference schema parity: sinusoidal datasets carry a
+            # "human action" placeholder equal to the executed action
+            # (generateSinusoidalTraj.py:101,177)
+            ep["h_action"] = ep["action"].copy()
+        if return_states:
+            # per-step raw sim states (_save_state vectors) — the
+            # reference pickles these as states_list.pkl
+            # (generateParallelTraj.py:71-80)
+            ep["car_state"] = merged["car_state"][:, b].astype(np.float32)
+        episodes.append(ep)
     return episodes
 
 

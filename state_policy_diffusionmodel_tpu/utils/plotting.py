@@ -122,3 +122,22 @@ def denoising_animation(history: np.ndarray, out_path: str, fps: int = 10,
         frames.append(fig_to_array(fig))
         plt.close(fig)
     return save_animation(frames, out_path, fps)
+
+
+def image_grid(images: np.ndarray, path: str, ncols: int = 8) -> str:
+    """Save a grid of (N, H, W, 3) float [0,1] images (the reference's
+    eval_autoencoder.py reconstruction check)."""
+    plt = _plt()
+    n = len(images)
+    nrows = (n + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols, figsize=(1.4 * ncols, 1.4 * nrows))
+    axes = np.atleast_2d(axes)
+    for i in range(nrows * ncols):
+        ax = axes[i // ncols, i % ncols]
+        ax.axis("off")
+        if i < n:
+            ax.imshow(np.clip(images[i], 0, 1))
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+    return path
