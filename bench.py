@@ -186,6 +186,11 @@ def bench_policy(n_envs: int, repeats: int):
 
 
 def main():
+    # persistent compilation cache: round-over-round bench runs skip XLA
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="env_render",
                     choices=["env_render", "env_only", "policy"])

@@ -118,3 +118,51 @@ def rollout_policy(states, geoms, policy: Callable, carry,
         body, (states, carry, res0), None, length=n_steps
     )
     return states, carry, traj
+
+
+def rollout_constant_sharded(mesh, states, geoms, actions, n_steps: int,
+                             render: bool = True, auto_reset: bool = True,
+                             track_ids=None):
+    """Multi-chip `rollout_constant`: envs sharded over the mesh's `data`
+    axis via shard_map, track bank replicated on every chip.
+
+    shard_map (not plain pjit sharding) so the per-shard program — including
+    the Pallas texel-sampling kernel, which XLA's SPMD partitioner treats as
+    an opaque custom call — runs independently per device with its local
+    batch. No collectives are needed: env stepping is embarrassingly
+    parallel; only training reduces over ICI.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    B = jax.tree.leaves(states.reward)[0].shape[0]
+    if track_ids is None:
+        track_ids = jnp.arange(B, dtype=jnp.int32)
+        geom_spec = P("data")      # stacked per-env geometry: shard it
+        local_ids = True
+    else:
+        geom_spec = P()            # shared bank: replicate
+        local_ids = False
+
+    def shard_body(states, geoms, actions, track_ids):
+        if local_ids:
+            # per-shard stacked geometry: ids are local offsets
+            track_ids = jnp.arange(track_ids.shape[0], dtype=jnp.int32)
+
+        def body(ss, _):
+            ss, res = step_batch(ss, geoms, actions, render=render,
+                                 track_ids=track_ids)
+            if auto_reset:
+                ss = jax.vmap(
+                    lambda s, t: env.auto_reset(s, gather_geom(geoms, t))
+                )(ss, track_ids)
+            return ss, res
+
+        return jax.lax.scan(body, states, None, length=n_steps)
+
+    f = shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P("data"), geom_spec, P("data"), P("data")),
+        out_specs=(P("data"), P(None, "data")),  # traj is (T, B, ...)
+    )
+    return jax.jit(f)(states, geoms, actions, track_ids)

@@ -184,3 +184,35 @@ def test_render_overlay_draws_red_points(geom, reset_state):
     red = (obs[..., 0] == 255) & (obs[..., 1] == 0) & (obs[..., 2] == 0)
     red0 = (obs0[..., 0] == 255) & (obs0[..., 1] == 0) & (obs0[..., 2] == 0)
     assert red.sum() > red0.sum()  # overlay added red pixels
+
+
+def test_sharded_rollout_over_mesh(geom):
+    """Env rollout sharded over the 8-device virtual mesh via shard_map must
+    match the unsharded rollout exactly."""
+    from state_policy_diffusionmodel_tpu import parallel
+
+    mesh = parallel.make_mesh()
+    geoms = T.stack([T.build(T.make_track(s), bake=False) for s in range(2)])
+    B = 16
+    tids = jnp.arange(B, dtype=jnp.int32) % 2
+    states = jax.jit(envs.vector.init_batch)(geoms, tids)
+    actions = jnp.tile(jnp.array([0.0, 0.6, 0.0]), (B, 1))
+
+    s1, traj1 = envs.vector.rollout_constant_sharded(
+        mesh, states, geoms, actions, n_steps=10, render=False,
+        track_ids=tids)
+    # reference: plain vmapped scan
+    def body(ss, _):
+        ss, res = envs.vector.step_batch(ss, geoms, actions, render=False,
+                                         track_ids=tids)
+        ss = jax.vmap(
+            lambda s, t: envs.auto_reset(
+                s, envs.vector.gather_geom(geoms, t)))(ss, tids)
+        return ss, res
+    s2, traj2 = jax.jit(
+        lambda st: jax.lax.scan(body, st, None, length=10))(states)
+
+    np.testing.assert_allclose(np.asarray(traj1.reward),
+                               np.asarray(traj2.reward), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1.car.pos),
+                               np.asarray(s2.car.pos), atol=1e-5)
