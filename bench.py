@@ -104,10 +104,11 @@ def bench_env(n_envs: int, n_steps: int, repeats: int, render: bool,
     return n_envs * n_steps / best
 
 
-def bench_policy(n_envs: int, repeats: int):
+def bench_policy(n_envs: int, repeats: int, amp: bool = True):
     """Closed-loop diffusion policy: envs step at 50 Hz sim time; every
     `step_size` frames the policy denoises (DDIM-10) from the rolling obs
-    window and commits the next actions — all inside one jit."""
+    window and commits the next actions — all inside one jit.  amp=True
+    runs the U-Net/encoder forwards in bfloat16 (scheduler math fp32)."""
     import jax
     import jax.numpy as jnp
     from state_policy_diffusionmodel_tpu import diffusion, envs
@@ -138,7 +139,7 @@ def bench_policy(n_envs: int, repeats: int):
             # denoise every step_size frames
             def denoise(_):
                 out = pol.sample(params, hist, sub, sampler="ddim",
-                                 num_inference_steps=10)
+                                 num_inference_steps=10, amp=amp)
                 return out[:, cfg.inpaint_horizon:, 2:5]  # (B, pred, 3)
             actions_queue = jax.lax.cond(
                 k % cfg.step_size == 0, denoise,
@@ -149,8 +150,14 @@ def bench_policy(n_envs: int, repeats: int):
             # roll the obs history
             def roll(h, new):
                 return jnp.concatenate([h[:, 1:], new[:, None]], axis=1)
-            feats = pol.encode_images(
-                params, (res.obs.astype(jnp.float32) / 255.0)[:, None])
+            enc_params = params
+            frame = (res.obs.astype(jnp.float32) / 255.0)[:, None]
+            if amp:
+                enc_params = jax.tree.map(
+                    lambda v: v.astype(jnp.bfloat16)
+                    if v.dtype == jnp.float32 else v, params)
+                frame = frame.astype(jnp.bfloat16)
+            feats = pol.encode_images(enc_params, frame).astype(jnp.float32)
             hist = {
                 "image_features": roll(hist["image_features"], feats[:, 0]),
                 "position": roll(hist["position"], res.info.car_position),
@@ -198,6 +205,8 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--unique-tracks", type=int, default=16)
+    ap.add_argument("--no-amp", action="store_true",
+                    help="policy mode: run the denoiser in fp32 instead of bf16")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes for CPU smoke testing")
     args = ap.parse_args()
@@ -208,7 +217,7 @@ def main():
 
     if args.mode == "policy":
         value = bench_policy(max(args.envs // 16, 1) if args.smoke else args.envs,
-                             args.repeats)
+                             args.repeats, amp=not args.no_amp)
         # real time = 50 sim frames per wall second per env
         realtime_factor = value / (50.0 * args.envs)
         out = {

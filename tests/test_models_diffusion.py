@@ -183,3 +183,34 @@ def test_policy_with_vision_encoder():
     enc_norm = sum(float(jnp.abs(g).sum())
                    for g in jax.tree.leaves(grads["encoder"]))
     assert enc_norm == 0.0
+
+
+def test_sample_amp_bf16_close_to_fp32():
+    """bf16 inference (amp=True) must track the fp32 sampler closely and
+    keep the inpainted rows exactly (they bypass the network)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from state_policy_diffusionmodel_tpu import diffusion
+
+    cfg = diffusion.PolicyConfig(
+        noise_steps=20, obs_horizon=4, pred_horizon=6, inpaint_horizon=1,
+        model="UNet", vision_encoder="none", step_size=1)
+    pol = diffusion.DiffusionPolicy(cfg)
+    params = pol.init_params(jax.random.key(0))
+    B = 2
+    rng = np.random.default_rng(0)
+    batch = {
+        "position": jnp.asarray(rng.normal(size=(B, 4, 2)), jnp.float32) * 0.1,
+        "velocity": jnp.asarray(rng.normal(size=(B, 4, 2)), jnp.float32) * 0.1,
+        "action": jnp.asarray(rng.normal(size=(B, 4, 3)), jnp.float32) * 0.1,
+    }
+    r = jax.random.key(3)
+    out32 = np.asarray(pol.sample(params, batch, r, sampler="ddim",
+                                  num_inference_steps=5))
+    out16 = np.asarray(pol.sample(params, batch, r, sampler="ddim",
+                                  num_inference_steps=5, amp=True))
+    # inpaint rows are written verbatim in both
+    np.testing.assert_array_equal(out32[:, 0], out16[:, 0])
+    # denoised rows agree to bf16-ish tolerance
+    assert np.abs(out32 - out16).max() < 0.05
