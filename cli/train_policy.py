@@ -30,6 +30,9 @@ def parse_arguments():
     p.add_argument("--dataset_name", required=True)
     p.add_argument("--out_dir", default="./tb_logs")
     p.add_argument("--amp", action="store_true")
+    p.add_argument("--device_data", action="store_true",
+                   help="keep the dataset resident in device HBM and gather "
+                        "training windows in-jit (single chip)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--version", default=None)
     p.add_argument("--resume", action="store_true",
@@ -64,7 +67,7 @@ def main():
     )
     tcfg = train.TrainConfig(
         epochs=args.n_epochs, batch_size=args.batch_size, lr=args.lr,
-        amp=args.amp, seed=args.seed)
+        amp=args.amp, seed=args.seed, device_data=args.device_data)
     print_hyperparameters(cfg, tcfg)
 
     dm = DataModule(batch_size=args.batch_size, data_dir=args.dataset_dir,

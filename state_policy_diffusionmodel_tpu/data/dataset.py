@@ -127,6 +127,76 @@ class WindowDataset:
             pickle.dump([self.stats], f)
 
 
+class DeviceWindowDataset:
+    """Device-resident variant of WindowDataset.
+
+    The whole dataset lives in HBM (images as uint8, 4x smaller) and the
+    strided window gather + position normalization run inside jit — the host
+    only supplies batch indices. This removes the per-batch host->device
+    image transfer entirely (the torch-DataLoader shape of the reference,
+    `utils/load_data.py:174`; ~70 MB/batch at the default horizons).
+    Outputs match `WindowDataset.batch` to 1 ulp (XLA lowers the /255 and
+    normalization divisions to multiply-by-reciprocal).
+    """
+
+    def __init__(self, ds: WindowDataset):
+        import jax
+        import jax.numpy as jnp
+
+        self.stats = ds.stats
+        self.sequence_len = ds.sequence_len
+        self.step_size = ds.step_size
+        self.n_windows = len(ds)
+
+        img = ds.train_data["image"]
+        scaled = img * np.float32(255.0)
+        rounded = np.round(scaled)
+        if np.abs(scaled - rounded).max() < 1e-3:
+            img_dev = jnp.asarray(rounded.astype(np.uint8))  # lossless
+        else:
+            img_dev = jnp.asarray(img)                        # keep f32
+        self._data = {
+            "image": img_dev,
+            "position": jnp.asarray(ds.train_data["position"]),
+            "velocity": jnp.asarray(ds.train_data["velocity"]),
+            "action": jnp.asarray(ds.train_data["action"]),
+        }
+        self._starts = jnp.asarray(ds.indices[:, 0], jnp.int32)
+        offs = jnp.arange(self.sequence_len, dtype=jnp.int32) * self.step_size
+        pmin = jnp.float32(ds.stats["position"]["min"])
+        pmax = jnp.float32(ds.stats["position"]["max"])
+        starts = self._starts
+        data = self._data
+
+        @jax.jit
+        def _batch(idx):
+            rows = starts[idx][:, None] + offs[None, :]       # (B, seq)
+            img = data["image"][rows]
+            if img.dtype == jnp.uint8:
+                img = img.astype(jnp.float32) / 255.0
+            pos = data["position"][rows]
+            rng = pmax - pmin
+            rng = jnp.where(rng == 0, 1.0, rng)
+            sn = (pos - pmin) / rng * 2 - 1
+            trans = sn[:, 0:1]
+            return {
+                "image": img,
+                "velocity": data["velocity"][rows],
+                "action": data["action"][rows],
+                "position": (sn - trans) / 2.0,
+            }
+
+        self._batch_fn = _batch
+
+    def __len__(self):
+        return self.n_windows
+
+    def batch(self, idxs):
+        import jax.numpy as jnp
+
+        return self._batch_fn(jnp.asarray(np.asarray(idxs), jnp.int32))
+
+
 def load_stats(path: str) -> dict:
     with open(path, "rb") as f:
         return pickle.load(f)[0]

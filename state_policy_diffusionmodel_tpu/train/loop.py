@@ -44,6 +44,9 @@ class TrainConfig:
     amp: bool = False
     seed: int = 42
     log_every: int = 50
+    device_data: bool = False   # dataset resident in HBM, gather in-jit
+                                # (single-chip path; multi-chip uses the
+                                # host pipeline + batch sharding)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -102,12 +105,44 @@ class Trainer:
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
 
+    def _use_device_data(self) -> bool:
+        return self.config.device_data and self.mesh.devices.size == 1
+
+    def _device_ds(self, dm: DataModule):
+        if getattr(self, "_dev_ds", None) is None:
+            from ..data.dataset import DeviceWindowDataset
+
+            self._dev_ds = DeviceWindowDataset(dm.data_full)
+        return self._dev_ds
+
+    def _batches(self, dm: DataModule, idxs, shuffle: bool, host_rng,
+                 drop_last: bool):
+        """Batch iterator honoring device_data: device-resident gather keyed
+        by host indices, or the host (C++ sampler) pipeline + sharding."""
+        if not self._use_device_data():
+            it = (dm.train_batches(rng=host_rng) if shuffle
+                  else dm.val_batches())
+            n_dev = self.mesh.devices.size
+            for batch in it:
+                batch, _ = pad_to_multiple(batch, n_dev)
+                yield shard_batch(batch, self.mesh)
+            return
+        dev = self._device_ds(dm)
+        order = host_rng.permutation(idxs) if shuffle else idxs
+        bs = self.config.batch_size
+        for i in range(0, len(order), bs):
+            chunk = order[i:i + bs]
+            if len(chunk) < bs:
+                if drop_last:
+                    return
+                # repeat-pad the index chunk: constant shapes, no recompile
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], bs - len(chunk))])
+            yield dev.batch(chunk)
+
     def _validate(self, params, dm: DataModule, rng) -> float:
         losses = []
-        n_dev = self.mesh.devices.size
-        for batch in dm.val_batches():
-            batch, real = pad_to_multiple(batch, n_dev)
-            batch = shard_batch(batch, self.mesh)
+        for batch in self._batches(dm, dm.val_idx, False, None, False):
             rng, sub = jax.random.split(rng)
             losses.append(float(self.eval_step(params, batch, sub)))
         return float(np.mean(losses)) if losses else float("nan")
@@ -139,7 +174,6 @@ class Trainer:
                 plateau = ReduceLROnPlateau(
                     lr=lr, best=float(meta.get("best_val", np.inf)))
                 self._log({"event": "resume", "epoch": start_epoch, "lr": lr})
-        n_dev = self.mesh.devices.size
         host_rng = np.random.default_rng(cfg.seed + start_epoch)
 
         # pre-fit validation materializes the run dir + stats sidecar
@@ -161,9 +195,7 @@ class Trainer:
                 break
             t0 = time.time()
             epoch_losses = []
-            for batch in dm.train_batches(rng=host_rng):
-                batch, _ = pad_to_multiple(batch, n_dev)
-                batch = shard_batch(batch, self.mesh)
+            for batch in self._batches(dm, dm.train_idx, True, host_rng, True):
                 rng, sub = jax.random.split(rng)
                 params, opt_state, loss = self.train_step(
                     params, opt_state, batch, sub, jnp.asarray(lr))

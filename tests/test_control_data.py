@@ -167,3 +167,38 @@ def test_collect_and_window_end_to_end(tmp_path):
     dm.save_stats(str(tmp_path / "STATS.pkl"))
     stats = data.load_stats(str(tmp_path / "STATS.pkl"))
     assert "position" in stats
+
+
+def test_device_dataset_matches_host_batches():
+    """DeviceWindowDataset (in-jit gather + normalize) must produce exactly
+    the host pipeline's batches."""
+    import numpy as np
+    from state_policy_diffusionmodel_tpu.data.dataset import (
+        DeviceWindowDataset, WindowDataset)
+    from state_policy_diffusionmodel_tpu.data.replay_buffer import ReplayBuffer
+
+    rng = np.random.default_rng(3)
+    T = 120
+    img_u8 = rng.integers(0, 256, size=(T, 8, 8, 3), dtype=np.uint8)
+    buf = ReplayBuffer.create_empty_numpy()
+    buf.add_episode({
+        "img": img_u8.astype(np.float32) / 255.0,
+        "position": rng.normal(size=(T, 2)).astype(np.float32) * 40,
+        "velocity": rng.normal(size=(T, 2)).astype(np.float32) * 5,
+        "action": rng.normal(size=(T, 3)).astype(np.float32),
+    })
+    ds = WindowDataset(buf, obs_horizon=4, pred_horizon=6, step_size=2)
+    dev = DeviceWindowDataset(ds)
+    assert len(dev) == len(ds)
+    assert dev._data["image"].dtype.name == "uint8"  # lossless u8 storage
+
+    idx = np.asarray([0, 5, len(ds) - 1, 7])
+    host = ds.batch(idx)
+    devb = {k: np.asarray(v) for k, v in dev.batch(idx).items()}
+    # pre-normalized arrays are moved verbatim: exact
+    np.testing.assert_array_equal(devb["velocity"], host["velocity"])
+    np.testing.assert_array_equal(devb["action"], host["action"])
+    # image /255 and position normalization run in-jit: XLA turns the
+    # division into multiply-by-reciprocal, so allow 1 ulp
+    np.testing.assert_allclose(devb["image"], host["image"], atol=1e-7)
+    np.testing.assert_allclose(devb["position"], host["position"], atol=1e-6)
