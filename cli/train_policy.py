@@ -33,6 +33,8 @@ def parse_arguments():
     p.add_argument("--device_data", action="store_true",
                    help="keep the dataset resident in device HBM and gather "
                         "training windows in-jit (single chip)")
+    p.add_argument("--no_early_stop", action="store_true",
+                   help="disable the reference's lr-monitor early stopping")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--version", default=None)
     p.add_argument("--resume", action="store_true",
@@ -67,7 +69,8 @@ def main():
     )
     tcfg = train.TrainConfig(
         epochs=args.n_epochs, batch_size=args.batch_size, lr=args.lr,
-        amp=args.amp, seed=args.seed, device_data=args.device_data)
+        amp=args.amp, seed=args.seed, device_data=args.device_data,
+        early_stop=not args.no_early_stop)
     print_hyperparameters(cfg, tcfg)
 
     dm = DataModule(batch_size=args.batch_size, data_dir=args.dataset_dir,
@@ -81,10 +84,20 @@ def main():
     policy = diffusion.DiffusionPolicy(cfg)
     params = None
     if args.encoder_ckpt:
-        tmpl = policy.init_params(jax.random.key(0))
-        enc = train.checkpoints.load_checkpoint(
-            args.encoder_ckpt, {"encoder": tmpl["encoder"]})["encoder"]
+        import jax.numpy as jnp
+        from state_policy_diffusionmodel_tpu.models import Autoencoder
+
+        # accept either a run dir (tb_logs_autoencoder/<version>) or a
+        # specific checkpoints/epoch=K dir
+        ck = args.encoder_ckpt
+        latest = train.checkpoints.latest_checkpoint(ck)
+        if latest is not None:
+            ck = latest
+        ae_tmpl = jax.device_get(Autoencoder(cfg.vision_latent).init(
+            jax.random.key(0), jnp.zeros((1, 96, 96, 3)))["params"])
+        enc = train.checkpoints.load_checkpoint(ck, ae_tmpl)["encoder"]
         params = policy.init_params(jax.random.key(0), encoder_params=enc)
+        print(f"loaded pretrained encoder from {ck}")
 
     trainer = train.Trainer(policy, tcfg, out_dir)
     if args.profile_dir:

@@ -47,6 +47,9 @@ class TrainConfig:
     device_data: bool = False   # dataset resident in HBM, gather in-jit
                                 # (single-chip path; multi-chip uses the
                                 # host pipeline + batch sharding)
+    early_stop: bool = True     # reference EarlyStopping(monitor='lr'):
+                                # stop when lr decays below 1e-4, or after
+                                # epochs//10 val checks without lr decrease
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -144,8 +147,11 @@ class Trainer:
         losses = []
         for batch in self._batches(dm, dm.val_idx, False, None, False):
             rng, sub = jax.random.split(rng)
-            losses.append(float(self.eval_step(params, batch, sub)))
-        return float(np.mean(losses)) if losses else float("nan")
+            # keep losses on device: one host sync at the end, not per batch
+            losses.append(self.eval_step(params, batch, sub))
+        if not losses:
+            return float("nan")
+        return float(jnp.mean(jnp.stack(losses)))
 
     def fit(self, dm: DataModule, params: Optional[Dict] = None,
             sample_hook=None, resume: bool = False) -> Dict:
@@ -189,6 +195,9 @@ class Trainer:
         val_every = max(1, int(n_train_batches * cfg.val_interval))
         history = {"train_loss": [], "val_loss": []}
         stop = False
+        # Lightning EarlyStopping patience on the lr monitor (train.py:95)
+        es_patience = max(1, cfg.epochs // 10)
+        best_lr, wait = float("inf"), 0
 
         for epoch in range(start_epoch, cfg.epochs):
             if stop:
@@ -200,10 +209,12 @@ class Trainer:
                 params, opt_state, loss = self.train_step(
                     params, opt_state, batch, sub, jnp.asarray(lr))
                 step_idx += 1
-                epoch_losses.append(float(loss))
+                # device array: host syncs only at log/val/epoch boundaries,
+                # so dispatches pipeline instead of blocking per step
+                epoch_losses.append(loss)
                 if step_idx % cfg.log_every == 0:
                     self._log({"event": "train", "step": step_idx,
-                               "epoch": epoch, "loss": epoch_losses[-1],
+                               "epoch": epoch, "loss": float(loss),
                                "lr": lr})
                 if step_idx % val_every == 0:
                     rng, vrng = jax.random.split(rng)
@@ -214,12 +225,20 @@ class Trainer:
                                "val_loss": val_loss, "lr": lr})
                     if sample_hook is not None:
                         sample_hook(params, step_idx)
-                    if should_early_stop(lr):
-                        self._log({"event": "early_stop", "lr": lr})
+                    if lr < best_lr:
+                        best_lr, wait = lr, 0
+                    else:
+                        wait += 1
+                    if cfg.early_stop and (
+                            should_early_stop(lr) or wait >= es_patience):
+                        self._log({"event": "early_stop", "lr": lr,
+                                   "wait": wait})
                         stop = True
                         break
 
-            history["train_loss"].append(float(np.mean(epoch_losses)))
+            history["train_loss"].append(
+                float(jnp.mean(jnp.stack(epoch_losses)))
+                if epoch_losses else float("nan"))
             ckpt_lib.save_checkpoint(self.out_dir, params, epoch)
             ckpt_lib.save_train_state(self.out_dir, opt_state, {
                 "epoch": epoch, "lr": float(lr),

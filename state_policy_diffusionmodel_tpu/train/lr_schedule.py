@@ -40,5 +40,9 @@ class ReduceLROnPlateau:
 
 def should_early_stop(lr: float, stopping_threshold: float = 1e-4) -> bool:
     """The reference's EarlyStopping(monitor='lr', stopping_threshold=1e-4)
-    (train.py:95)."""
-    return lr <= stopping_threshold
+    (train.py:95). Lightning's monitor_op is a STRICT less-than, so the
+    default initial lr of exactly 1e-4 does not stop training; only a
+    plateau decay below it does. (Lightning also stops after
+    patience=n_epochs//10 val checks without lr improvement — see
+    Trainer.fit's wait counter.)"""
+    return lr < stopping_threshold

@@ -56,7 +56,8 @@ def test_reduce_lr_on_plateau():
     assert sch.update(1.0) == pytest.approx(1e-4)  # decayed
     assert sch.update(0.5) == pytest.approx(1e-4)  # new best resets
     assert not train.should_early_stop(1e-3)
-    assert train.should_early_stop(1e-4)
+    assert not train.should_early_stop(1e-4)  # strict: initial lr never stops
+    assert train.should_early_stop(9.9e-5)
 
 
 def test_train_step_descends_loss():
