@@ -49,9 +49,15 @@ def main():
     stats = load_stats(os.path.join(args.run_dir, "STATS.pkl"))
 
     geom = T.build(T.make_track(args.track_seed))
-    state, res = envs.reset(geom)
+    state, res = jax.jit(envs.reset)(geom)
     ctrl_params = control.lane_follow_params(args.mode, args.target_velocity)
     ctrl = control.lane_follow_init()
+
+    # jit the hot per-step functions: eager dispatch would round-trip the
+    # device once per op
+    ctrl_jit = jax.jit(control.lane_follow)
+    step_plain = jax.jit(lambda s, a: envs.step(s, geom, a))
+    step_overlay = jax.jit(lambda s, a, ov: envs.step(s, geom, a, overlay=ov))
 
     # rolling raw observation ring buffers (run_predictions.py:30-60):
     # length obs_horizon * step_size, subsampled [::step_size]
@@ -69,8 +75,7 @@ def main():
     action = jnp.zeros(3)
     for step in range(args.steps):
         speed = jnp.linalg.norm(res.info.car_velocity)
-        action, ctrl = control.lane_follow(ctrl_params, ctrl, res.augmented,
-                                           speed)
+        action, ctrl = ctrl_jit(ctrl_params, ctrl, res.augmented, speed)
         hist["image"].append(np.asarray(res.obs, np.float32) / 255.0)
         hist["position"].append(np.asarray(res.info.car_position))
         hist["velocity"].append(np.asarray(res.info.car_velocity))
@@ -105,7 +110,10 @@ def main():
                 pts[i], valid[i] = w, True
             overlay = Overlay(jnp.asarray(pts), jnp.asarray(valid))
 
-        state, res = envs.step(state, geom, action, overlay=overlay)
+        if overlay is None:
+            state, res = step_plain(state, action)
+        else:
+            state, res = step_overlay(state, action, overlay)
         frames.append(np.asarray(res.augmented))
         if bool(res.done):
             break

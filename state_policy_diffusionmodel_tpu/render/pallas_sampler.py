@@ -18,11 +18,11 @@ gather); this kernel keeps everything in VMEM:
 - the pixel->texel map is recomputed in-kernel from 4 camera scalars and two
   constant (72, 128) coordinate planes (camera-frame rx, ry) — no per-pixel
   inputs at all;
-- per image-plane row r (128 px on lanes): one-hots are built transposed,
-  ohT[i, p] = (li[p] == i), naturally (sublane=i, lane=p);
+- per block of 8 image-plane rows (1024 px on lanes): one-hots are built
+  transposed, ohT[i, p] = (li[p] == i), naturally (sublane=i, lane=p);
   rowsT = winT @ ohiT puts texel columns on sublanes; the j-selection is an
-  elementwise multiply + sublane reduction landing back on lanes, so
-  out[r, :] is written directly.  No relayouts anywhere.
+  elementwise multiply + sublane reduction landing back on lanes, written
+  straight to the output block.
 - one-hot products are exact in bf16 (palette bytes < 48) and the f32
   accumulation is exact, hence identical to the XLA path up to FMA
   contraction differences in the float pixel->texel map (boundary texels).
@@ -118,16 +118,21 @@ def _kernel(scal_all_ref, scal_f_ref, tex_ref, rx_ref, ry_ref, out_ref,
     oj_al = pl.multiple_of(scal_all_ref[b, 0, 3], 128)
     win = pltpu.roll(win_sc[slot].astype(jnp.int32), -(oj - oj_al), 1)
     win_t = win[:, :LANES].astype(jnp.bfloat16).T    # winT[j, i] = win[i, j]
-    iota_i = jax.lax.broadcasted_iota(jnp.int32, (WIN_I, LANES), 0)
-    iota_j = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    RB = 8                                           # rows per matmul
+    P = RB * LANES
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (WIN_I, P), 0)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (LANES, P), 0)
 
-    for r in range(ROWS):
-        ohi_t = (iota_i == li[r, :][None, :]).astype(jnp.bfloat16)   # (i, p)
-        ohj_t = (iota_j == lj[r, :][None, :]).astype(jnp.float32)    # (j, p)
+    for r0 in range(0, ROWS, RB):
+        li8 = li[r0:r0 + RB, :].reshape(-1)          # (P,) pixels on lanes
+        lj8 = lj[r0:r0 + RB, :].reshape(-1)
+        ohi_t = (iota_i == li8[None, :]).astype(jnp.bfloat16)   # (i, p)
+        ohj_t = (iota_j == lj8[None, :]).astype(jnp.float32)    # (j, p)
         rows_t = jnp.dot(win_t, ohi_t,
-                         preferred_element_type=jnp.float32)          # (j, p)
-        vals = jnp.sum(rows_t * ohj_t, axis=0)                        # (p,)
-        out_ref[0, r, :] = jnp.where(infield[r, :], vals.astype(jnp.int32), 0)
+                         preferred_element_type=jnp.float32)     # (j, p)
+        vals = jnp.sum(rows_t * ohj_t, axis=0)                   # (P,)
+        out_ref[0, r0:r0 + RB, :] = jnp.where(
+            infield[r0:r0 + RB, :], vals.reshape(RB, LANES).astype(jnp.int32), 0)
 
 
 def sample_banked(tex_bank: jax.Array, track_ids: jax.Array,

@@ -91,7 +91,8 @@ def test_trainer_end_to_end(tmp_path):
         noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
         model="UNet", vision_encoder="none", step_size=2)
     pol = diffusion.DiffusionPolicy(cfg)
-    tcfg = train.TrainConfig(epochs=2, batch_size=8, lr=3e-4, seed=0)
+    tcfg = train.TrainConfig(epochs=2, batch_size=8, lr=3e-4, seed=0,
+                             early_stop=False)
     trainer = train.Trainer(pol, tcfg, str(tmp_path / "run"))
     dm = _synthetic_module(n_steps=120)  # small: the loop, not the loss
     out = trainer.fit(dm)
@@ -119,11 +120,13 @@ def test_trainer_resume(tmp_path):
     pol = diffusion.DiffusionPolicy(cfg)
     dm = _synthetic_module(n_steps=120)
 
-    tcfg1 = train.TrainConfig(epochs=1, batch_size=8, lr=3e-4, seed=0)
+    tcfg1 = train.TrainConfig(epochs=1, batch_size=8, lr=3e-4, seed=0,
+                              early_stop=False)
     t1 = train.Trainer(pol, tcfg1, str(tmp_path / "run"))
     t1.fit(dm)
 
-    tcfg2 = train.TrainConfig(epochs=2, batch_size=8, lr=3e-4, seed=0)
+    tcfg2 = train.TrainConfig(epochs=2, batch_size=8, lr=3e-4, seed=0,
+                              early_stop=False)
     t2 = train.Trainer(pol, tcfg2, str(tmp_path / "run"))
     out = t2.fit(dm, resume=True)
     # epoch 0 already done: resumed run trains exactly one more epoch
