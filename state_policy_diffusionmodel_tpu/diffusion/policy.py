@@ -33,7 +33,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..models import Autoencoder, Encoder, ResNet18GN, build_model
+from ..models import Encoder, ResNet18GN, build_model
 from . import schedules as S
 
 

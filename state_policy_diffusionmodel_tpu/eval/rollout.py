@@ -15,7 +15,6 @@ action sequences at once.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ model (diffusion_ddpm.py:84-88).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 

@@ -8,10 +8,8 @@ diffusion-policy recipe.  Implemented natively in Flax/NHWC.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

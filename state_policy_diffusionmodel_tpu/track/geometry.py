@@ -15,8 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import generator, texture
-from .generator import MAX_TRACK_PTS, PLAYFIELD, TRACK_WIDTH, Track
+from . import texture
+from .generator import PLAYFIELD, TRACK_WIDTH, Track
 
 
 class TrackGeometry(NamedTuple):

@@ -5,7 +5,7 @@ ReduceLROnPlateau, batch 128, 90/10 split)."""
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

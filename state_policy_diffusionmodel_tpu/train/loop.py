@@ -17,8 +17,7 @@ import dataclasses
 import json
 import os
 import time
-from functools import partial
-from typing import Any, Dict, Iterable, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +25,7 @@ import numpy as np
 import optax
 
 from ..data.dataset import DataModule
-from ..diffusion import DiffusionPolicy, PolicyConfig
+from ..diffusion import DiffusionPolicy
 from ..parallel import make_mesh, pad_to_multiple, replicate, shard_batch
 from . import checkpoints as ckpt_lib
 from .lr_schedule import ReduceLROnPlateau, should_early_stop

@@ -11,7 +11,7 @@ from __future__ import annotations
 import io
 import os
 import shutil
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
