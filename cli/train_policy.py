@@ -35,6 +35,8 @@ def parse_arguments():
                         "training windows in-jit (single chip)")
     p.add_argument("--no_early_stop", action="store_true",
                    help="disable the reference's lr-monitor early stopping")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also mirror metrics to TensorBoard event files")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--version", default=None)
     p.add_argument("--resume", action="store_true",
@@ -70,7 +72,7 @@ def main():
     tcfg = train.TrainConfig(
         epochs=args.n_epochs, batch_size=args.batch_size, lr=args.lr,
         amp=args.amp, seed=args.seed, device_data=args.device_data,
-        early_stop=not args.no_early_stop)
+        early_stop=not args.no_early_stop, tensorboard=args.tensorboard)
     print_hyperparameters(cfg, tcfg)
 
     dm = DataModule(batch_size=args.batch_size, data_dir=args.dataset_dir,

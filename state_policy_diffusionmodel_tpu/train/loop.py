@@ -49,6 +49,9 @@ class TrainConfig:
     early_stop: bool = True     # reference EarlyStopping(monitor='lr'):
                                 # stop when lr decays below 1e-4, or after
                                 # epochs//10 val checks without lr decrease
+    tensorboard: bool = False   # mirror scalars to TensorBoard event files
+                                # (reference pl_loggers.TensorBoardLogger,
+                                # train.py:94); jsonl metrics always on
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -101,11 +104,26 @@ class Trainer:
         self.eval_step = make_eval_step(self.policy)
         os.makedirs(self.out_dir, exist_ok=True)
         self.metrics_path = os.path.join(self.out_dir, "metrics.jsonl")
+        self._tb = None
+        if self.config.tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(self.out_dir, flush_secs=1)
+            except Exception:  # pragma: no cover - torch optional
+                pass
 
     def _log(self, record: Dict[str, Any]):
         record["time"] = time.time()
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
+        if self._tb is not None:
+            step = int(record.get("step", record.get("epoch", 0) or 0))
+            for key, tag in (("loss", "train_loss"), ("val_loss", "val_loss"),
+                             ("lr", "lr"), ("train_loss", "epoch_train_loss"),
+                             ("steps_per_sec", "steps_per_sec")):
+                if key in record:
+                    self._tb.add_scalar(tag, float(record[key]), step)
 
     def _use_device_data(self) -> bool:
         return self.config.device_data and self.mesh.devices.size == 1
