@@ -21,11 +21,12 @@ gather); this kernel keeps everything in VMEM:
 - per block of 8 image-plane rows (1024 px on lanes): one-hots are built
   transposed, ohT[i, p] = (li[p] == i), naturally (sublane=i, lane=p);
   rowsT = winT @ ohiT puts texel columns on sublanes; the j-selection is an
-  elementwise multiply + sublane reduction landing back on lanes, written
+  elementwise select + sublane reduction landing back on lanes, written
   straight to the output block.
-- one-hot products are exact in bf16 (palette bytes < 48) and the f32
-  accumulation is exact, hence identical to the XLA path up to FMA
-  contraction differences in the float pixel->texel map (boundary texels).
+- the matmul runs in int8 (palette bytes < 48 fit exactly; the MXU's int8
+  path is 2x its bf16 rate on v5e) with exact int32 accumulation, hence
+  identical to the XLA path up to FMA contraction differences in the float
+  pixel->texel map (boundary texels).
 
 The window origin is computed analytically from the viewport center: the
 96x96 viewport spans at most ~61.5 texels from its center at the fixed zoom
@@ -117,7 +118,7 @@ def _kernel(scal_all_ref, scal_f_ref, tex_ref, rx_ref, ry_ref, out_ref,
     # rotates 32-bit data)
     oj_al = pl.multiple_of(scal_all_ref[b, 0, 3], 128)
     win = pltpu.roll(win_sc[slot].astype(jnp.int32), -(oj - oj_al), 1)
-    win_t = win[:, :LANES].astype(jnp.bfloat16).T    # winT[j, i] = win[i, j]
+    win_t = win[:, :LANES].astype(jnp.int8).T        # winT[j, i] = win[i, j]
     RB = 8                                           # rows per matmul
     P = RB * LANES
     iota_i = jax.lax.broadcasted_iota(jnp.int32, (WIN_I, P), 0)
@@ -126,13 +127,14 @@ def _kernel(scal_all_ref, scal_f_ref, tex_ref, rx_ref, ry_ref, out_ref,
     for r0 in range(0, ROWS, RB):
         li8 = li[r0:r0 + RB, :].reshape(-1)          # (P,) pixels on lanes
         lj8 = lj[r0:r0 + RB, :].reshape(-1)
-        ohi_t = (iota_i == li8[None, :]).astype(jnp.bfloat16)   # (i, p)
-        ohj_t = (iota_j == lj8[None, :]).astype(jnp.float32)    # (j, p)
-        rows_t = jnp.dot(win_t, ohi_t,
-                         preferred_element_type=jnp.float32)     # (j, p)
-        vals = jnp.sum(rows_t * ohj_t, axis=0)                   # (P,)
+        ohi_t = (iota_i == li8[None, :]).astype(jnp.int8)       # (i, p)
+        ohj_t = iota_j == lj8[None, :]                          # (j, p) bool
+        rows_t = jax.lax.dot_general(                           # int8 MXU:
+            win_t, ohi_t, (((1,), (0,)), ((), ())),             # 2x bf16 rate
+            preferred_element_type=jnp.int32)                   # (j, p)
+        vals = jnp.sum(jnp.where(ohj_t, rows_t, 0), axis=0)     # (P,)
         out_ref[0, r0:r0 + RB, :] = jnp.where(
-            infield[r0:r0 + RB, :], vals.reshape(RB, LANES).astype(jnp.int32), 0)
+            infield[r0:r0 + RB, :], vals.reshape(RB, LANES), 0)
 
 
 def sample_banked(tex_bank: jax.Array, track_ids: jax.Array,
