@@ -9,7 +9,7 @@ intermediates in HBM (~9 MB of traffic per frame — measured ~4x the cost of
 everything else in the renderer, on top of a slow batched dynamic-slice
 gather); this kernel keeps everything in VMEM:
 
-- one grid program per env; a (144, 256) window of the packed texture is
+- one grid program per env; a (136, 256) window of the packed texture is
   DMA'd from the track-texture bank in HBM into VMEM scratch using scalar-
   prefetched (track_id, oi, oj).  Mosaic requires DMA offsets aligned to the
   (8, 128) tile, so the window is the tile-aligned superset of the exact
@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..track.generator import PLAYFIELD
 
-WIN_I = 144        # aligned row window: covers 8-aligned origin + 134 span
+WIN_I = 136       # aligned row window: 8-aligned origin (<=71 below center) + 62.5-texel half-span + floor pad -> 134.5 -> 136
 WIN_J = 256        # aligned col window: covers 128-aligned origin + 191 span
 ROWS = 72          # 96*96 px = (72, 128) planes
 LANES = 128
@@ -110,7 +110,7 @@ def _kernel(scal_all_ref, scal_f_ref, tex_ref, rx_ref, ry_ref, out_ref,
     fy = (py + PLAYFIELD) * scale
     infield = ((fx >= 0) & (fx < tex_size) & (fy >= 0) & (fy < tex_size))
     oi = scal_all_ref[b, 0, 1]
-    li = jnp.floor(fx).astype(jnp.int32) - oi        # (72, 128) in [0, 144)
+    li = jnp.floor(fx).astype(jnp.int32) - oi        # (72, 128) in [0, 136)
     lj = jnp.floor(fy).astype(jnp.int32) - oj        # (72, 128) in [0, 128)
 
     # cut the exact 128-col window out of the aligned 256-col DMA with a
