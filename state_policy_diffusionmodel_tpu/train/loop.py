@@ -17,6 +17,7 @@ import dataclasses
 import json
 import os
 import time
+from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
@@ -160,7 +161,75 @@ class Trainer:
                     [chunk, np.repeat(chunk[-1:], bs - len(chunk))])
             yield dev.batch(chunk)
 
+    def _chunk_fns(self, dm: DataModule):
+        """Fused multi-step runners for the device-data path.
+
+        The axon/TPU dispatch latency is per-RPC, not per-FLOP: a host loop
+        that enqueues one train step per call is latency-bound at tens of
+        steps/s no matter how fast the step itself is.  Here a whole
+        val-interval's worth of steps runs as ONE lax.scan on device —
+        window gather, normalization, forward/backward and Adam update all
+        inside — so the host pays one round trip per validation boundary.
+        RNG is threaded through the scan exactly as the host loop splits it,
+        so losses are bit-comparable with the per-step path."""
+        if getattr(self, "_chunk_cache", None) is not None:
+            return self._chunk_cache
+        dev = self._device_ds(dm)
+        batch_fn = dev._batch_fn
+        train_step = self.train_step
+        eval_step = self.eval_step
+        # Pin outputs to the mesh's replicated sharding: otherwise jit
+        # outputs carry SingleDeviceSharding while the first call's inputs
+        # were NamedSharding-replicated, and every params round trip
+        # (chunk -> val -> chunk) recompiles both programs (~10 min each
+        # through the axon tunnel).
+        from ..parallel.mesh import replicated
+        rep = replicated(self.mesh)
+
+        @partial(jax.jit, out_shardings=rep)
+        def run_train_chunk(params, opt_state, idx_chunk, rng, lr):
+            def body(carry, idx):
+                params, opt_state, rng = carry
+                rng, sub = jax.random.split(rng)
+                params, opt_state, loss = train_step(
+                    params, opt_state, batch_fn(idx), sub, lr)
+                return (params, opt_state, rng), loss
+            (params, opt_state, rng), losses = jax.lax.scan(
+                body, (params, opt_state, rng), idx_chunk)
+            return params, opt_state, rng, losses
+
+        @partial(jax.jit, out_shardings=rep)
+        def run_val(params, idx_chunks, rng):
+            def body(rng, idx):
+                rng, sub = jax.random.split(rng)
+                return rng, eval_step(params, batch_fn(idx), sub)
+            _, losses = jax.lax.scan(body, rng, idx_chunks)
+            return jnp.mean(losses)
+
+        self._chunk_cache = (run_train_chunk, run_val)
+        return self._chunk_cache
+
+    def _index_chunks(self, order: np.ndarray, bs: int,
+                      drop_last: bool) -> np.ndarray:
+        """(K, bs) int32 window-index array; partial tail repeat-padded
+        (matching _batches) or dropped."""
+        n_full = len(order) // bs
+        rem = len(order) - n_full * bs
+        chunks = order[:n_full * bs].reshape(n_full, bs)
+        if rem and not drop_last:
+            tail = np.concatenate(
+                [order[n_full * bs:], np.repeat(order[-1:], bs - rem)])
+            chunks = np.concatenate([chunks, tail[None]], 0)
+        return chunks.astype(np.int32)
+
     def _validate(self, params, dm: DataModule, rng) -> float:
+        if self._use_device_data():
+            _, run_val = self._chunk_fns(dm)
+            idxs = self._index_chunks(np.asarray(dm.val_idx),
+                                      self.config.batch_size, False)
+            if len(idxs) == 0:
+                return float("nan")
+            return float(run_val(params, jnp.asarray(idxs), rng))
         losses = []
         for batch in self._batches(dm, dm.val_idx, False, None, False):
             rng, sub = jax.random.split(rng)
@@ -216,42 +285,71 @@ class Trainer:
         es_patience = max(1, cfg.epochs // 10)
         best_lr, wait = float("inf"), 0
 
+        def after_val(step_idx, val_loss):
+            nonlocal lr, best_lr, wait, stop
+            lr = plateau.update(val_loss)
+            history["val_loss"].append(val_loss)
+            self._log({"event": "val", "step": step_idx,
+                       "val_loss": val_loss, "lr": lr})
+            if sample_hook is not None:
+                sample_hook(params, step_idx)
+            if lr < best_lr:
+                best_lr, wait = lr, 0
+            else:
+                wait += 1
+            if cfg.early_stop and (
+                    should_early_stop(lr) or wait >= es_patience):
+                self._log({"event": "early_stop", "lr": lr, "wait": wait})
+                stop = True
+
         for epoch in range(start_epoch, cfg.epochs):
             if stop:
                 break
             t0 = time.time()
             epoch_losses = []
-            for batch in self._batches(dm, dm.train_idx, True, host_rng, True):
-                rng, sub = jax.random.split(rng)
-                params, opt_state, loss = self.train_step(
-                    params, opt_state, batch, sub, jnp.asarray(lr))
-                step_idx += 1
-                # device array: host syncs only at log/val/epoch boundaries,
-                # so dispatches pipeline instead of blocking per step
-                epoch_losses.append(loss)
-                if step_idx % cfg.log_every == 0:
-                    self._log({"event": "train", "step": step_idx,
-                               "epoch": epoch, "loss": float(loss),
-                               "lr": lr})
-                if step_idx % val_every == 0:
-                    rng, vrng = jax.random.split(rng)
-                    val_loss = self._validate(params, dm, vrng)
-                    lr = plateau.update(val_loss)
-                    history["val_loss"].append(val_loss)
-                    self._log({"event": "val", "step": step_idx,
-                               "val_loss": val_loss, "lr": lr})
-                    if sample_hook is not None:
-                        sample_hook(params, step_idx)
-                    if lr < best_lr:
-                        best_lr, wait = lr, 0
-                    else:
-                        wait += 1
-                    if cfg.early_stop and (
-                            should_early_stop(lr) or wait >= es_patience):
-                        self._log({"event": "early_stop", "lr": lr,
-                                   "wait": wait})
-                        stop = True
-                        break
+            if self._use_device_data():
+                # fused path: each val interval = ONE device dispatch
+                run_chunk, _ = self._chunk_fns(dm)
+                order = host_rng.permutation(np.asarray(dm.train_idx))
+                batches = self._index_chunks(order, cfg.batch_size, True)
+                for c0 in range(0, len(batches), val_every):
+                    chunk = jnp.asarray(batches[c0:c0 + val_every])
+                    params, opt_state, rng, losses = run_chunk(
+                        params, opt_state, chunk, rng, jnp.asarray(lr))
+                    losses = np.asarray(losses)       # one sync per chunk
+                    epoch_losses.extend(np.float32(l) for l in losses)
+                    for i, l in enumerate(losses):
+                        if (step_idx + i + 1) % cfg.log_every == 0:
+                            self._log({"event": "train",
+                                       "step": step_idx + i + 1,
+                                       "epoch": epoch, "loss": float(l),
+                                       "lr": lr})
+                    step_idx += len(losses)
+                    if len(losses) == val_every:
+                        rng, vrng = jax.random.split(rng)
+                        after_val(step_idx, self._validate(params, dm, vrng))
+                        if stop:
+                            break
+            else:
+                for batch in self._batches(dm, dm.train_idx, True, host_rng,
+                                           True):
+                    rng, sub = jax.random.split(rng)
+                    params, opt_state, loss = self.train_step(
+                        params, opt_state, batch, sub, jnp.asarray(lr))
+                    step_idx += 1
+                    # device array: host syncs only at log/val/epoch
+                    # boundaries, so dispatches pipeline instead of blocking
+                    # per step
+                    epoch_losses.append(loss)
+                    if step_idx % cfg.log_every == 0:
+                        self._log({"event": "train", "step": step_idx,
+                                   "epoch": epoch, "loss": float(loss),
+                                   "lr": lr})
+                    if step_idx % val_every == 0:
+                        rng, vrng = jax.random.split(rng)
+                        after_val(step_idx, self._validate(params, dm, vrng))
+                        if stop:
+                            break
 
             history["train_loss"].append(
                 float(jnp.mean(jnp.stack(epoch_losses)))

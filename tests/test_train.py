@@ -140,6 +140,79 @@ def test_trainer_resume(tmp_path):
     assert "resume" in events
 
 
+def _one_device_mesh():
+    from jax.sharding import Mesh
+    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                ("data", "model"))
+
+
+def test_fused_chunk_matches_per_step_losses(tmp_path):
+    """run_train_chunk (lax.scan over steps) must reproduce the per-step
+    device-data loop bit-for-bit: same RNG splits, same gathers."""
+    cfg = diffusion.PolicyConfig(
+        noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
+        model="UNet", vision_encoder="none", step_size=2)
+    pol = diffusion.DiffusionPolicy(cfg)
+    tcfg = train.TrainConfig(batch_size=8, lr=3e-4, seed=0,
+                             device_data=True, early_stop=False)
+    tr = train.Trainer(pol, tcfg, str(tmp_path / "run"))
+    tr.mesh = _one_device_mesh()
+    assert tr._use_device_data()
+    dm = _synthetic_module(n_steps=160)
+    dev = tr._device_ds(dm)
+    run_chunk, run_val = tr._chunk_fns(dm)
+
+    params = pol.init_params(jax.random.key(0))
+    opt_state = tr.optimizer.init(params)
+    rng = jax.random.key(7)
+    idxs = tr._index_chunks(np.arange(24), 8, True)          # (3, 8)
+    lr = jnp.asarray(3e-4)
+    p1, o1, rng1, losses = run_chunk(params, opt_state,
+                                     jnp.asarray(idxs), rng, lr)
+
+    p2, o2, r2 = params, opt_state, rng
+    expected = []
+    for row in idxs:
+        r2, sub = jax.random.split(r2)
+        p2, o2, loss = tr.train_step(p2, o2, dev.batch(row), sub, lr)
+        expected.append(float(loss))
+    np.testing.assert_allclose(np.asarray(losses), expected, rtol=1e-5)
+    a = jax.tree.leaves(jax.device_get(p1))[0]
+    b = jax.tree.leaves(jax.device_get(p2))[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-7)
+
+    # validation runner agrees with the averaged per-chunk eval steps
+    vrng = jax.random.key(3)
+    v1 = float(run_val(params, jnp.asarray(idxs), vrng))
+    r2, vexp = vrng, []
+    for row in idxs:
+        r2, sub = jax.random.split(r2)
+        vexp.append(float(tr.eval_step(params, dev.batch(row), sub)))
+    np.testing.assert_allclose(v1, np.mean(vexp), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_trainer_device_data_end_to_end(tmp_path):
+    cfg = diffusion.PolicyConfig(
+        noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
+        model="UNet", vision_encoder="none", step_size=2)
+    pol = diffusion.DiffusionPolicy(cfg)
+    tcfg = train.TrainConfig(epochs=2, batch_size=8, lr=3e-4, seed=0,
+                             early_stop=False, device_data=True)
+    trainer = train.Trainer(pol, tcfg, str(tmp_path / "run"))
+    trainer.mesh = _one_device_mesh()
+    dm = _synthetic_module(n_steps=120)
+    out = trainer.fit(dm)
+    assert len(out["history"]["train_loss"]) == 2
+    assert np.isfinite(out["history"]["train_loss"]).all()
+    assert out["history"]["val_loss"]                # quarter-epoch vals ran
+    assert np.isfinite(out["history"]["val_loss"]).all()
+    assert os.path.exists(tmp_path / "run" / "STATS.pkl")
+    assert train.checkpoints.latest_checkpoint(
+        str(tmp_path / "run")) is not None
+
+
 def test_step_timer_and_timed():
     from state_policy_diffusionmodel_tpu.utils import profiling
     st = profiling.StepTimer()
