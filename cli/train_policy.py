@@ -32,7 +32,8 @@ def parse_arguments():
     p.add_argument("--amp", action="store_true")
     p.add_argument("--device_data", action="store_true",
                    help="keep the dataset resident in device HBM and gather "
-                        "training windows in-jit (single chip)")
+                        "training windows in-jit; on a multi-chip mesh "
+                        "indices shard over the data axis")
     p.add_argument("--no_early_stop", action="store_true",
                    help="disable the reference's lr-monitor early stopping")
     p.add_argument("--tensorboard", action="store_true",

@@ -139,7 +139,11 @@ class DeviceWindowDataset:
     normalization divisions to multiply-by-reciprocal).
     """
 
-    def __init__(self, ds: WindowDataset):
+    def __init__(self, ds: WindowDataset, sharding=None):
+        """`sharding` (optional): a replicated NamedSharding placing the
+        dataset arrays on every device of a mesh, so batch gathers can run
+        inside multi-chip jitted programs (idx sharded over `data`, gather
+        local to each shard)."""
         import jax
         import jax.numpy as jnp
 
@@ -147,21 +151,23 @@ class DeviceWindowDataset:
         self.sequence_len = ds.sequence_len
         self.step_size = ds.step_size
         self.n_windows = len(ds)
+        put = ((lambda x: jax.device_put(jnp.asarray(x), sharding))
+               if sharding is not None else jnp.asarray)
 
         img = ds.train_data["image"]
         scaled = img * np.float32(255.0)
         rounded = np.round(scaled)
         if np.abs(scaled - rounded).max() < 1e-3:
-            img_dev = jnp.asarray(rounded.astype(np.uint8))  # lossless
+            img_dev = put(rounded.astype(np.uint8))          # lossless
         else:
-            img_dev = jnp.asarray(img)                        # keep f32
+            img_dev = put(img)                                # keep f32
         self._data = {
             "image": img_dev,
-            "position": jnp.asarray(ds.train_data["position"]),
-            "velocity": jnp.asarray(ds.train_data["velocity"]),
-            "action": jnp.asarray(ds.train_data["action"]),
+            "position": put(ds.train_data["position"]),
+            "velocity": put(ds.train_data["velocity"]),
+            "action": put(ds.train_data["action"]),
         }
-        self._starts = jnp.asarray(ds.indices[:, 0], jnp.int32)
+        self._starts = put(np.asarray(ds.indices[:, 0], np.int32))
         offs = jnp.arange(self.sequence_len, dtype=jnp.int32) * self.step_size
         pmin = jnp.float32(ds.stats["position"]["min"])
         pmax = jnp.float32(ds.stats["position"]["max"])
@@ -192,9 +198,12 @@ class DeviceWindowDataset:
         return self.n_windows
 
     def batch(self, idxs):
+        import jax
         import jax.numpy as jnp
 
-        return self._batch_fn(jnp.asarray(np.asarray(idxs), jnp.int32))
+        if not isinstance(idxs, jax.Array):
+            idxs = jnp.asarray(np.asarray(idxs), jnp.int32)
+        return self._batch_fn(idxs)
 
 
 def load_stats(path: str) -> dict:

@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import threading
 import time
 from functools import partial
 from typing import Any, Dict, Optional
@@ -44,9 +45,11 @@ class TrainConfig:
     amp: bool = False
     seed: int = 42
     log_every: int = 50
-    device_data: bool = False   # dataset resident in HBM, gather in-jit
-                                # (single-chip path; multi-chip uses the
-                                # host pipeline + batch sharding)
+    device_data: bool = False   # dataset replicated into HBM, window
+                                # gather + normalization in-jit; on a
+                                # multi-chip mesh batch indices shard over
+                                # `data` and each chip gathers its rows
+                                # locally (batch_size % mesh size == 0)
     early_stop: bool = True     # reference EarlyStopping(monitor='lr'):
                                 # stop when lr decays below 1e-4, or after
                                 # epochs//10 val checks without lr decrease
@@ -91,18 +94,58 @@ def make_eval_step(policy: DiffusionPolicy):
     return step
 
 
+class _AsyncSaver:
+    """Runs checkpoint saves off the training thread, one in flight.
+
+    The per-epoch save (device_get of params+opt through the TPU tunnel +
+    orbax write) costs ~13 s — an order of magnitude more than the epoch's
+    fused compute on small datasets. The training thread only blocks if the
+    previous epoch's save hasn't finished. Worker exceptions re-raise on
+    the next submit/wait so a failed checkpoint can't pass silently;
+    params/opt buffers are non-donated jit outputs, so the concurrent
+    device→host transfer reads immutable arrays.
+    """
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def _run(self, fn, args):
+        try:
+            fn(*args)
+        except BaseException as e:  # noqa: BLE001 - re-raised on the caller
+            self._error = e
+
+    def submit(self, fn, *args):
+        self.wait()
+        self._thread = threading.Thread(
+            target=self._run, args=(fn, args), daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+
 @dataclasses.dataclass
 class Trainer:
     policy: DiffusionPolicy
     config: TrainConfig
     out_dir: str
+    mesh: Optional[Any] = None   # default: all visible devices on `data`
 
     def __post_init__(self):
-        self.mesh = make_mesh()
+        if self.mesh is None:
+            self.mesh = make_mesh()
         self.optimizer = make_optimizer(self.config)
         self.train_step = make_train_step(self.policy, self.optimizer,
                                           self.config.amp)
         self.eval_step = make_eval_step(self.policy)
+        self._saver = _AsyncSaver()
         os.makedirs(self.out_dir, exist_ok=True)
         self.metrics_path = os.path.join(self.out_dir, "metrics.jsonl")
         self._tb = None
@@ -127,14 +170,30 @@ class Trainer:
                     self._tb.add_scalar(tag, float(record[key]), step)
 
     def _use_device_data(self) -> bool:
-        return self.config.device_data and self.mesh.devices.size == 1
+        if not self.config.device_data:
+            return False
+        n = self.mesh.devices.size
+        assert self.config.batch_size % n == 0, (
+            f"device_data needs batch_size ({self.config.batch_size}) "
+            f"divisible by the mesh size ({n})")
+        return True
 
     def _device_ds(self, dm: DataModule):
         if getattr(self, "_dev_ds", None) is None:
             from ..data.dataset import DeviceWindowDataset
+            from ..parallel.mesh import replicated
 
-            self._dev_ds = DeviceWindowDataset(dm.data_full)
+            # dataset replicated across the mesh; batch gathers shard over
+            # `data` via the index sharding (multi-chip device_data)
+            self._dev_ds = DeviceWindowDataset(
+                dm.data_full, sharding=replicated(self.mesh))
         return self._dev_ds
+
+    def _idx_sharding(self, chunked: bool):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(None, "data") if chunked else P("data")
+        return NamedSharding(self.mesh, spec)
 
     def _batches(self, dm: DataModule, idxs, shuffle: bool, host_rng,
                  drop_last: bool):
@@ -159,7 +218,8 @@ class Trainer:
                 # repeat-pad the index chunk: constant shapes, no recompile
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], bs - len(chunk))])
-            yield dev.batch(chunk)
+            yield dev.batch(jax.device_put(
+                np.asarray(chunk, np.int32), self._idx_sharding(False)))
 
     def _chunk_fns(self, dm: DataModule):
         """Fused multi-step runners for the device-data path.
@@ -229,7 +289,8 @@ class Trainer:
                                       self.config.batch_size, False)
             if len(idxs) == 0:
                 return float("nan")
-            return float(run_val(params, jnp.asarray(idxs), rng))
+            idxs = jax.device_put(idxs, self._idx_sharding(True))
+            return float(run_val(params, idxs, rng))
         losses = []
         for batch in self._batches(dm, dm.val_idx, False, None, False):
             rng, sub = jax.random.split(rng)
@@ -313,7 +374,8 @@ class Trainer:
                 order = host_rng.permutation(np.asarray(dm.train_idx))
                 batches = self._index_chunks(order, cfg.batch_size, True)
                 for c0 in range(0, len(batches), val_every):
-                    chunk = jnp.asarray(batches[c0:c0 + val_every])
+                    chunk = jax.device_put(batches[c0:c0 + val_every],
+                                           self._idx_sharding(True))
                     params, opt_state, rng, losses = run_chunk(
                         params, opt_state, chunk, rng, jnp.asarray(lr))
                     losses = np.asarray(losses)       # one sync per chunk
@@ -354,10 +416,8 @@ class Trainer:
             history["train_loss"].append(
                 float(jnp.mean(jnp.stack(epoch_losses)))
                 if epoch_losses else float("nan"))
-            ckpt_lib.save_checkpoint(self.out_dir, params, epoch)
-            ckpt_lib.save_train_state(self.out_dir, opt_state, {
-                "epoch": epoch, "lr": float(lr),
-                "best_val": float(plateau.best)})
+            self._saver.submit(self._save_epoch, params, opt_state, epoch,
+                               float(lr), float(plateau.best))
             dt = time.time() - t0
             self._log({"event": "epoch", "epoch": epoch,
                        "train_loss": history["train_loss"][-1],
@@ -366,5 +426,12 @@ class Trainer:
                        "samples_per_sec":
                            len(epoch_losses) * cfg.batch_size / max(dt, 1e-9)})
 
+        self._saver.wait()
         return {"params": params, "opt_state": opt_state, "history": history,
                 "lr": lr}
+
+    def _save_epoch(self, params, opt_state, epoch: int, lr: float,
+                    best_val: float):
+        ckpt_lib.save_checkpoint(self.out_dir, params, epoch)
+        ckpt_lib.save_train_state(self.out_dir, opt_state, {
+            "epoch": epoch, "lr": lr, "best_val": best_val})

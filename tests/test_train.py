@@ -155,8 +155,8 @@ def test_fused_chunk_matches_per_step_losses(tmp_path):
     pol = diffusion.DiffusionPolicy(cfg)
     tcfg = train.TrainConfig(batch_size=8, lr=3e-4, seed=0,
                              device_data=True, early_stop=False)
-    tr = train.Trainer(pol, tcfg, str(tmp_path / "run"))
-    tr.mesh = _one_device_mesh()
+    tr = train.Trainer(pol, tcfg, str(tmp_path / "run"),
+                       mesh=_one_device_mesh())
     assert tr._use_device_data()
     dm = _synthetic_module(n_steps=160)
     dev = tr._device_ds(dm)
@@ -192,6 +192,41 @@ def test_fused_chunk_matches_per_step_losses(tmp_path):
     np.testing.assert_allclose(v1, np.mean(vexp), rtol=1e-5)
 
 
+def test_fused_chunk_multichip_matches_single_device(tmp_path):
+    """device_data over the full 8-device mesh: dataset replicated, batch
+    indices sharded over `data`, grads psum'd by XLA — losses and updated
+    params must match the 1-device run."""
+    cfg = diffusion.PolicyConfig(
+        noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
+        model="UNet", vision_encoder="none", step_size=2)
+    dm = _synthetic_module(n_steps=160)
+    idxs_np = np.arange(32).reshape(2, 16).astype(np.int32)
+
+    def run(mesh, out):
+        pol = diffusion.DiffusionPolicy(cfg)
+        tcfg = train.TrainConfig(batch_size=16, lr=3e-4, seed=0,
+                                 device_data=True, early_stop=False)
+        tr = train.Trainer(pol, tcfg, str(tmp_path / out), mesh=mesh)
+        assert tr._use_device_data()
+        run_chunk, _ = tr._chunk_fns(dm)
+        params = pol.init_params(jax.random.key(0))
+        params = parallel.replicate(params, tr.mesh)
+        opt_state = tr.optimizer.init(params)
+        idxs = jax.device_put(idxs_np, tr._idx_sharding(True))
+        p, o, r, losses = run_chunk(params, opt_state, idxs,
+                                    jax.random.key(7), jnp.asarray(3e-4))
+        return np.asarray(losses), jax.device_get(p)
+
+    l1, p1 = run(_one_device_mesh(), "run1")
+    l8, p8 = run(parallel.make_mesh(), "run8")   # 8 devices on `data`
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    # params: cross-device psum reorders the gradient reduction, and Adam's
+    # per-element normalization amplifies that noise where grad ~ 0
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_trainer_device_data_end_to_end(tmp_path):
     cfg = diffusion.PolicyConfig(
@@ -200,8 +235,8 @@ def test_trainer_device_data_end_to_end(tmp_path):
     pol = diffusion.DiffusionPolicy(cfg)
     tcfg = train.TrainConfig(epochs=2, batch_size=8, lr=3e-4, seed=0,
                              early_stop=False, device_data=True)
-    trainer = train.Trainer(pol, tcfg, str(tmp_path / "run"))
-    trainer.mesh = _one_device_mesh()
+    trainer = train.Trainer(pol, tcfg, str(tmp_path / "run"),
+                            mesh=_one_device_mesh())
     dm = _synthetic_module(n_steps=120)
     out = trainer.fit(dm)
     assert len(out["history"]["train_loss"]) == 2
