@@ -167,22 +167,29 @@ class DeviceWindowDataset:
             "velocity": put(ds.train_data["velocity"]),
             "action": put(ds.train_data["action"]),
         }
-        self._starts = put(np.asarray(ds.indices[:, 0], np.int32))
-        offs = jnp.arange(self.sequence_len, dtype=jnp.int32) * self.step_size
-        pmin = jnp.float32(ds.stats["position"]["min"])
-        pmax = jnp.float32(ds.stats["position"]["max"])
-        starts = self._starts
-        data = self._data
+        self._data["starts"] = put(np.asarray(ds.indices[:, 0], np.int32))
+        jax.block_until_ready(self._data)
+        # pmin/pmax/step baked as python scalars; the dataset arrays are
+        # EXPLICIT jit arguments, never closures: closed-over device arrays
+        # get inlined into the lowered HLO as literals, which ships the
+        # whole dataset with every (remote) compile — the axon tunnel
+        # rejects such requests above ~256 MB (HTTP 413), and even under
+        # the limit it bloats compile time and the persistent cache.
+        step = self.step_size
+        seq = self.sequence_len
+        pmin = float(ds.stats["position"]["min"])
+        pmax = float(ds.stats["position"]["max"])
 
         @jax.jit
-        def _batch(idx):
-            rows = starts[idx][:, None] + offs[None, :]       # (B, seq)
+        def _batch(data, idx):
+            offs = jnp.arange(seq, dtype=jnp.int32) * step
+            rows = data["starts"][idx][:, None] + offs[None, :]  # (B, seq)
             img = data["image"][rows]
             if img.dtype == jnp.uint8:
                 img = img.astype(jnp.float32) / 255.0
             pos = data["position"][rows]
             rng = pmax - pmin
-            rng = jnp.where(rng == 0, 1.0, rng)
+            rng = rng if rng != 0 else 1.0
             sn = (pos - pmin) / rng * 2 - 1
             trans = sn[:, 0:1]
             return {
@@ -203,7 +210,7 @@ class DeviceWindowDataset:
 
         if not isinstance(idxs, jax.Array):
             idxs = jnp.asarray(np.asarray(idxs), jnp.int32)
-        return self._batch_fn(idxs)
+        return self._batch_fn(self._data, idxs)
 
 
 def load_stats(path: str) -> dict:

@@ -246,23 +246,27 @@ class Trainer:
         from ..parallel.mesh import replicated
         rep = replicated(self.mesh)
 
+        # `data` (the whole HBM-resident dataset) is an explicit argument:
+        # a closed-over device array would be inlined into the lowered HLO
+        # as a literal and shipped with every remote compile (HTTP 413 on
+        # large datasets; see data/dataset.py).
         @partial(jax.jit, out_shardings=rep)
-        def run_train_chunk(params, opt_state, idx_chunk, rng, lr):
+        def run_train_chunk(params, opt_state, idx_chunk, rng, lr, data):
             def body(carry, idx):
                 params, opt_state, rng = carry
                 rng, sub = jax.random.split(rng)
                 params, opt_state, loss = train_step(
-                    params, opt_state, batch_fn(idx), sub, lr)
+                    params, opt_state, batch_fn(data, idx), sub, lr)
                 return (params, opt_state, rng), loss
             (params, opt_state, rng), losses = jax.lax.scan(
                 body, (params, opt_state, rng), idx_chunk)
             return params, opt_state, rng, losses
 
         @partial(jax.jit, out_shardings=rep)
-        def run_val(params, idx_chunks, rng):
+        def run_val(params, idx_chunks, rng, data):
             def body(rng, idx):
                 rng, sub = jax.random.split(rng)
-                return rng, eval_step(params, batch_fn(idx), sub)
+                return rng, eval_step(params, batch_fn(data, idx), sub)
             _, losses = jax.lax.scan(body, rng, idx_chunks)
             return jnp.mean(losses)
 
@@ -290,7 +294,8 @@ class Trainer:
             if len(idxs) == 0:
                 return float("nan")
             idxs = jax.device_put(idxs, self._idx_sharding(True))
-            return float(run_val(params, idxs, rng))
+            return float(run_val(params, idxs, rng,
+                                 self._device_ds(dm)._data))
         losses = []
         for batch in self._batches(dm, dm.val_idx, False, None, False):
             rng, sub = jax.random.split(rng)
@@ -371,13 +376,15 @@ class Trainer:
             if self._use_device_data():
                 # fused path: each val interval = ONE device dispatch
                 run_chunk, _ = self._chunk_fns(dm)
+                dev_data = self._device_ds(dm)._data
                 order = host_rng.permutation(np.asarray(dm.train_idx))
                 batches = self._index_chunks(order, cfg.batch_size, True)
                 for c0 in range(0, len(batches), val_every):
                     chunk = jax.device_put(batches[c0:c0 + val_every],
                                            self._idx_sharding(True))
                     params, opt_state, rng, losses = run_chunk(
-                        params, opt_state, chunk, rng, jnp.asarray(lr))
+                        params, opt_state, chunk, rng, jnp.asarray(lr),
+                        dev_data)
                     losses = np.asarray(losses)       # one sync per chunk
                     epoch_losses.extend(np.float32(l) for l in losses)
                     for i, l in enumerate(losses):

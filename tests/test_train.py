@@ -168,7 +168,7 @@ def test_fused_chunk_matches_per_step_losses(tmp_path):
     idxs = tr._index_chunks(np.arange(24), 8, True)          # (3, 8)
     lr = jnp.asarray(3e-4)
     p1, o1, rng1, losses = run_chunk(params, opt_state,
-                                     jnp.asarray(idxs), rng, lr)
+                                     jnp.asarray(idxs), rng, lr, dev._data)
 
     p2, o2, r2 = params, opt_state, rng
     expected = []
@@ -184,7 +184,7 @@ def test_fused_chunk_matches_per_step_losses(tmp_path):
 
     # validation runner agrees with the averaged per-chunk eval steps
     vrng = jax.random.key(3)
-    v1 = float(run_val(params, jnp.asarray(idxs), vrng))
+    v1 = float(run_val(params, jnp.asarray(idxs), vrng, dev._data))
     r2, vexp = vrng, []
     for row in idxs:
         r2, sub = jax.random.split(r2)
@@ -214,7 +214,8 @@ def test_fused_chunk_multichip_matches_single_device(tmp_path):
         opt_state = tr.optimizer.init(params)
         idxs = jax.device_put(idxs_np, tr._idx_sharding(True))
         p, o, r, losses = run_chunk(params, opt_state, idxs,
-                                    jax.random.key(7), jnp.asarray(3e-4))
+                                    jax.random.key(7), jnp.asarray(3e-4),
+                                    tr._device_ds(dm)._data)
         return np.asarray(losses), jax.device_get(p)
 
     l1, p1 = run(_one_device_mesh(), "run1")
@@ -246,6 +247,29 @@ def test_trainer_device_data_end_to_end(tmp_path):
     assert os.path.exists(tmp_path / "run" / "STATS.pkl")
     assert train.checkpoints.latest_checkpoint(
         str(tmp_path / "run")) is not None
+
+
+@pytest.mark.slow
+def test_train_autoencoder_fused(tmp_path):
+    from state_policy_diffusionmodel_tpu.train.autoencoder import (
+        train_autoencoder)
+
+    rng = np.random.default_rng(0)
+    images = (rng.integers(0, 256, (40, 96, 96, 3)) / 255.0).astype(
+        np.float32)
+    out = train_autoencoder(images, str(tmp_path / "ae"), epochs=2,
+                            batch_size=8, lr=1e-3, log=lambda *a: None)
+    hist = out["history"]
+    assert len(hist["train_loss"]) == 2
+    assert np.isfinite(hist["train_loss"]).all()
+    assert np.isfinite(hist["val_loss"]).all()   # 4-frame partial val batch
+    assert hist["train_loss"][1] < hist["train_loss"][0]
+    ck = train.checkpoints.latest_checkpoint(str(tmp_path / "ae"))
+    assert ck is not None and ck.endswith("epoch=1")
+    restored = train.checkpoints.load_checkpoint(
+        ck, jax.device_get({"encoder": out["params"]["encoder"],
+                            "decoder": out["params"]["decoder"]}))
+    assert set(restored) == {"encoder", "decoder"}
 
 
 def test_step_timer_and_timed():
