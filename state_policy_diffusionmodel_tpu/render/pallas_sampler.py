@@ -119,22 +119,19 @@ def _kernel(scal_all_ref, scal_f_ref, tex_ref, rx_ref, ry_ref, out_ref,
     oj_al = pl.multiple_of(scal_all_ref[b, 0, 3], 128)
     win = pltpu.roll(win_sc[slot].astype(jnp.int32), -(oj - oj_al), 1)
     win_t = win[:, :LANES].astype(jnp.int8).T        # winT[j, i] = win[i, j]
-    RB = 8                                           # rows per matmul
-    P = RB * LANES
+    P = ROWS * LANES                                 # all 9216 px at once:
     iota_i = jax.lax.broadcasted_iota(jnp.int32, (WIN_I, P), 0)
     iota_j = jax.lax.broadcasted_iota(jnp.int32, (LANES, P), 0)
 
-    for r0 in range(0, ROWS, RB):
-        li8 = li[r0:r0 + RB, :].reshape(-1)          # (P,) pixels on lanes
-        lj8 = lj[r0:r0 + RB, :].reshape(-1)
-        ohi_t = (iota_i == li8[None, :]).astype(jnp.int8)       # (i, p)
-        ohj_t = iota_j == lj8[None, :]                          # (j, p) bool
-        rows_t = jax.lax.dot_general(                           # int8 MXU:
-            win_t, ohi_t, (((1,), (0,)), ((), ())),             # 2x bf16 rate
-            preferred_element_type=jnp.int32)                   # (j, p)
-        vals = jnp.sum(jnp.where(ohj_t, rows_t, 0), axis=0)     # (P,)
-        out_ref[0, r0:r0 + RB, :] = jnp.where(
-            infield[r0:r0 + RB, :], vals.reshape(RB, LANES), 0)
+    liP = li.reshape(-1)                             # (P,) pixels on lanes
+    ljP = lj.reshape(-1)
+    ohi_t = (iota_i == liP[None, :]).astype(jnp.int8)           # (i, p)
+    ohj_t = iota_j == ljP[None, :]                              # (j, p) bool
+    rows_t = jax.lax.dot_general(                    # one (128,136)x(136,P)
+        win_t, ohi_t, (((1,), (0,)), ((), ())),      # int8 MXU matmul: far
+        preferred_element_type=jnp.int32)            # better MXU util than
+    vals = jnp.sum(jnp.where(ohj_t, rows_t, 0), axis=0)  # 9 1024-px slices
+    out_ref[0, :, :] = jnp.where(infield, vals.reshape(ROWS, LANES), 0)
 
 
 def sample_banked(tex_bank: jax.Array, track_ids: jax.Array,

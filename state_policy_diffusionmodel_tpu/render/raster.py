@@ -113,6 +113,7 @@ L_GRASS_DARK = 1
 L_GRASS_LIGHT = 2
 L_BASE0 = 3          # 3..7: road shades / borders (texture base 1..5)
 L_LANE0 = 8          # 8..12: behavior lanes (texture lane 1..5, augm only)
+N_LANES = 5
 L_POINTS = 13
 L_CAR0 = 14          # 14..25: wheel0, rim0, ..., hull1..4 in draw order
 L_HUD_BAR = 26
@@ -474,10 +475,23 @@ def _compose(
     hud_band = _hud_layer(wx[h0:h1], wy[h0:h1], car, hull_vel)
     layer = layer.at[h0:h1].set(jnp.maximum(layer[h0:h1], hud_band))
 
-    # lanes sit above road/grass but below points/car/HUD: exactly max order
-    layer_augm = jnp.maximum(layer, lane_term)
-
-    return _colorize(layer), _colorize(layer_augm)
+    # lanes sit above road/grass but below points/car/HUD: exactly max order.
+    # The augmented frame differs from the state frame only where a lane
+    # index wins the max, and lanes take just 5 palette entries — so instead
+    # of a second full one-hot colorize, select the lane colors into the
+    # state RGB (exact: where lane_term <= layer both frames colorize the
+    # same index).
+    state_rgb = _colorize(layer)
+    lane_wins = (lane_term > layer).reshape(-1, 1)
+    flat_lane = lane_term.reshape(-1, 1)
+    lane_rgb = jnp.zeros_like(state_rgb).reshape(-1, 3)
+    for k in range(N_LANES):
+        li = L_LANE0 + k
+        lane_rgb = jnp.where(flat_lane == li,
+                             jnp.asarray(PALETTE_U8[li], jnp.uint8), lane_rgb)
+    augm_rgb = jnp.where(lane_wins, lane_rgb,
+                         state_rgb.reshape(-1, 3)).reshape(state_rgb.shape)
+    return state_rgb, augm_rgb
 
 
 def render(
