@@ -181,12 +181,12 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True):
     }
     rng = jax.random.key(0)
     states, hist, chk = rollout(states, hist, rng)
-    jax.block_until_ready(chk)
+    float(chk)   # fetch a VALUE: the tunnel acks block_until_ready early
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         states, hist, chk = rollout(states, hist, rng)
-        jax.block_until_ready(chk)
+        float(chk)
         times.append(time.perf_counter() - t0)
     frames_per_sec = n_envs * n_frames / min(times)
     return frames_per_sec
