@@ -201,7 +201,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="env_render",
                     choices=["env_render", "env_only", "policy"])
-    ap.add_argument("--envs", type=int, default=1024)
+    ap.add_argument("--envs", type=int, default=None,
+                    help="default: 1024 (env modes), 256 (policy mode — the "
+                         "throughput/latency sweet spot for the DDIM loop)")
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--unique-tracks", type=int, default=16)
@@ -210,6 +212,8 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes for CPU smoke testing")
     args = ap.parse_args()
+    if args.envs is None:
+        args.envs = 256 if args.mode == "policy" else 1024
 
     if args.smoke:
         args.envs, args.steps, args.repeats = 8, 20, 1
