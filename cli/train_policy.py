@@ -46,6 +46,12 @@ def parse_arguments():
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler device trace of the first "
                         "training steps into this directory")
+    p.add_argument("--no_sample_viz", action="store_true",
+                   help="skip the validation-time sample figures (the "
+                        "reference logs position/action overlays for val "
+                        "batch 0 at every validation check)")
+    p.add_argument("--sample_viz_steps", type=int, default=50,
+                   help="DDIM steps for the validation-time sample figures")
     return p.parse_args()
 
 
@@ -103,13 +109,23 @@ def main():
         print(f"loaded pretrained encoder from {ck}")
 
     trainer = train.Trainer(policy, tcfg, out_dir)
+    sample_hook = None
+    if not args.no_sample_viz:
+        # the reference's quarter-epoch visual feedback: full reverse
+        # diffusion on a fixed val window, position/action overlay figures
+        # (diffusion_ddpm.py:100-113,351-422)
+        sample_hook = train.make_sample_hook(
+            policy, dm, out_dir, tb_writer=trainer._tb,
+            num_inference_steps=args.sample_viz_steps)
     if args.profile_dir:
         from state_policy_diffusionmodel_tpu.utils import profiling
 
         with profiling.trace(args.profile_dir):
-            result = trainer.fit(dm, params=params, resume=args.resume)
+            result = trainer.fit(dm, params=params, resume=args.resume,
+                                 sample_hook=sample_hook)
     else:
-        result = trainer.fit(dm, params=params, resume=args.resume)
+        result = trainer.fit(dm, params=params, resume=args.resume,
+                             sample_hook=sample_hook)
     print(f"done; final lr {result['lr']}, artifacts in {out_dir}")
 
 

@@ -114,7 +114,10 @@ def normalize_positions(pos: np.ndarray, stat_min: float, stat_max: float):
     where translations (B, 2) are the removed first-frame vectors in
     [-1, 1] space (needed to unnormalize predictions back to world frame).
     """
-    pos = np.ascontiguousarray(pos, np.float32)
+    # copy: the C kernel normalizes in place into its input buffer, so a
+    # fresh array keeps both paths' semantics identical (the caller's array
+    # is never mutated)
+    pos = np.array(pos, np.float32, copy=True, order="C")
     batch, seq_len = int(pos.shape[0]), int(pos.shape[1])
     trans = np.empty((batch, 2), np.float32)
 

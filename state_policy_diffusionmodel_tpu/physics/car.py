@@ -171,6 +171,20 @@ def step(car: CarState, friction_limit: jax.Array, dt: float = C.DT) -> CarState
 
     vel = car.vel + dt * f_total / C.TOTAL_MASS
     angular_vel = car.angular_vel + dt * torque / C.TOTAL_I
+
+    # Box2D clamps per-step motion and keeps the scaled-back velocity
+    # (b2Island::Solve with b2_maxTranslation=2, b2_maxRotation=pi/2) — a
+    # hard 100 u/s speed cap at dt=1/50 that the reference car reaches at
+    # full throttle.
+    translation = jnp.sqrt(jnp.sum(vel * vel)) * dt
+    vel = vel * jnp.where(translation > C.MAX_TRANSLATION,
+                          C.MAX_TRANSLATION / jnp.maximum(translation, 1e-9),
+                          1.0)
+    rotation = jnp.abs(angular_vel) * dt
+    angular_vel = angular_vel * jnp.where(
+        rotation > C.MAX_ROTATION,
+        C.MAX_ROTATION / jnp.maximum(rotation, 1e-9), 1.0)
+
     com_world_new = com_world + dt * vel
     angle = car.angle + dt * angular_vel
     pos = com_world_new - _rot(angle) @ jnp.asarray(C.COM_BODY, f32)

@@ -50,6 +50,14 @@ WHEEL_POSITIONS = WHEELPOS * SIZE                 # body-frame anchor points (4,
 
 DT = 1.0 / 50.0                                   # env tick (car_racing.py:455)
 
+# Box2D solver motion clamps (b2Settings.h): per-step translation is capped
+# at 2 units and rotation at pi/2 rad; the scaled-back velocity is KEPT, so
+# they act as hard speed caps (100 u/s, 78.5 rad/s at dt=1/50). The
+# reference car hits the translation cap at full throttle (world.Step,
+# car_racing.py:456).
+MAX_TRANSLATION = 2.0
+MAX_ROTATION = np.pi / 2
+
 
 def _polygon_mass_properties(verts, density):
     """Area, centroid and inertia (about centroid) of a simple CCW polygon.

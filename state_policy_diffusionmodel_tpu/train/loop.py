@@ -141,6 +141,12 @@ class Trainer:
     def __post_init__(self):
         if self.mesh is None:
             self.mesh = make_mesh()
+        if self.config.device_data and (
+                self.config.batch_size % self.mesh.devices.size != 0):
+            # fail at construction, not mid-training (and survive python -O)
+            raise ValueError(
+                f"device_data needs batch_size ({self.config.batch_size}) "
+                f"divisible by the mesh size ({self.mesh.devices.size})")
         self.optimizer = make_optimizer(self.config)
         self.train_step = make_train_step(self.policy, self.optimizer,
                                           self.config.amp)
@@ -170,15 +176,20 @@ class Trainer:
                     self._tb.add_scalar(tag, float(record[key]), step)
 
     def _use_device_data(self) -> bool:
-        if not self.config.device_data:
-            return False
-        n = self.mesh.devices.size
-        assert self.config.batch_size % n == 0, (
-            f"device_data needs batch_size ({self.config.batch_size}) "
-            f"divisible by the mesh size ({n})")
-        return True
+        return self.config.device_data  # divisibility checked in __post_init__
+
+    def _check_dm_cache(self, dm: DataModule):
+        """The device dataset and fused chunk runners are built per
+        DataModule; a second fit() with a different DataModule must rebuild
+        them (else it would silently train on the first dataset's HBM
+        arrays)."""
+        if getattr(self, "_cache_dm", None) is not dm:
+            self._cache_dm = dm
+            self._dev_ds = None
+            self._chunk_cache = None
 
     def _device_ds(self, dm: DataModule):
+        self._check_dm_cache(dm)
         if getattr(self, "_dev_ds", None) is None:
             from ..data.dataset import DeviceWindowDataset
             from ..parallel.mesh import replicated
@@ -231,7 +242,16 @@ class Trainer:
         window gather, normalization, forward/backward and Adam update all
         inside — so the host pays one round trip per validation boundary.
         RNG is threaded through the scan exactly as the host loop splits it,
-        so losses are bit-comparable with the per-step path."""
+        so losses are bit-comparable with the per-step path.
+
+        When n_train_batches % val_every != 0 the epoch ends with one
+        shorter tail chunk — a second scan shape, i.e. one extra XLA
+        compile, paid once (shapes repeat across epochs, and the
+        persistent compile cache carries both programs across runs).
+        Validation cadence is per-epoch on full val_every intervals for
+        BOTH the fused and per-step paths (Lightning's
+        val_check_interval=0.25 also resets each epoch)."""
+        self._check_dm_cache(dm)
         if getattr(self, "_chunk_cache", None) is not None:
             return self._chunk_cache
         dev = self._device_ds(dm)
@@ -400,12 +420,14 @@ class Trainer:
                         if stop:
                             break
             else:
+                epoch_step = 0
                 for batch in self._batches(dm, dm.train_idx, True, host_rng,
                                            True):
                     rng, sub = jax.random.split(rng)
                     params, opt_state, loss = self.train_step(
                         params, opt_state, batch, sub, jnp.asarray(lr))
                     step_idx += 1
+                    epoch_step += 1
                     # device array: host syncs only at log/val/epoch
                     # boundaries, so dispatches pipeline instead of blocking
                     # per step
@@ -414,7 +436,9 @@ class Trainer:
                         self._log({"event": "train", "step": step_idx,
                                    "epoch": epoch, "loss": float(loss),
                                    "lr": lr})
-                    if step_idx % val_every == 0:
+                    # per-EPOCH cadence (resets at epoch boundaries, like
+                    # Lightning's val_check_interval and the fused path)
+                    if epoch_step % val_every == 0:
                         rng, vrng = jax.random.split(rng)
                         after_val(step_idx, self._validate(params, dm, vrng))
                         if stop:

@@ -282,3 +282,23 @@ def test_step_timer_and_timed():
     with profiling.timed("phase") as t:
         pass
     assert t.seconds >= 0
+
+
+def test_sample_hook_writes_figures(tmp_path):
+    """make_sample_hook: the reference's validation-time position/action
+    overlay figures (diffusion_ddpm.py:100-113,351-422) land in
+    <out_dir>/samples/ as PNGs."""
+    pytest.importorskip("matplotlib")
+    cfg = diffusion.PolicyConfig(
+        noise_steps=10, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
+        model="UNet", vision_encoder="none", step_size=2)
+    pol = diffusion.DiffusionPolicy(cfg)
+    params = pol.init_params(jax.random.key(0))
+    dm = _synthetic_module(n_steps=120)
+
+    hook = train.make_sample_hook(pol, dm, str(tmp_path), sampler="ddim",
+                                  num_inference_steps=5)
+    assert hook is not None
+    hook(params, step_idx=7)
+    files = sorted(os.listdir(tmp_path / "samples"))
+    assert files == ["step_0000007_actions.png", "step_0000007_positions.png"]
