@@ -72,7 +72,9 @@ def main():
         if name == "compare":
             return E.compare_position_actions(ctx, w)
         if name == "smoke":
-            return E.smoke(ctx, 0)
+            fig = (os.path.splitext(args.out)[0] + "_smoke_overlay.png"
+                   if args.out else None)
+            return E.smoke(ctx, 0, fig_path=fig)
         raise ValueError(name)
 
     results = {}

@@ -55,11 +55,13 @@ def main():
 
     buffer = ReplayBuffer.create_empty_numpy()
     seed = args.seed0
+    all_seeds = []
     for mode in modes:
         print(f"==== mode {mode}: {args.num_episodes_per_mode} episodes x "
               f"{args.steps} steps (driver={args.driver}) ====")
         seeds = list(range(seed, seed + args.num_episodes_per_mode))
         seed += args.num_episodes_per_mode
+        all_seeds.extend(seeds)
         episodes = collect_episodes(
             seeds, driver=args.driver, mode=mode,
             target_velocity=float(args.velocities[0]),
@@ -77,6 +79,10 @@ def main():
                                    "states_list.pkl"), "wb") as f:
                 pickle.dump(states_hist, f)
 
+    # per-episode track seed (meta/track_seed) so closed-loop evals can
+    # rebuild each episode's exact track
+    import numpy as np
+    buffer.meta["track_seed"] = np.asarray(all_seeds, np.int64)
     buffer.save_to_path(out, chunk_length=args.chunk_len,
                         make_zip=args.make_zip)
     print(f"saved {buffer.n_episodes} episodes / {buffer.n_steps} steps "

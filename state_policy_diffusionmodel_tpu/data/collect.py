@@ -144,14 +144,18 @@ def generate_dataset(
     """End-to-end dataset generation into the reference zarr schema."""
     buffer = ReplayBuffer.create_empty_numpy()
     seed = seed0
+    all_seeds = []
     for mode in modes:
         seeds = list(range(seed, seed + episodes_per_mode))
         seed += episodes_per_mode
+        all_seeds.extend(seeds)
         for ep in collect_episodes(
             seeds, driver=driver, mode=mode, n_steps=n_steps,
             target_velocity=target_velocity, **kw,
         ):
             buffer.add_episode(ep)
+    # per-episode track seed so eval replays can rebuild the exact track
+    buffer.meta["track_seed"] = np.asarray(all_seeds, np.int64)
     if path:
         buffer.save_to_path(path, make_zip=make_zip)
     return buffer

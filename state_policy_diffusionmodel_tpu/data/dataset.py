@@ -34,8 +34,11 @@ class WindowDataset:
             source = load_zarr(source)
         if isinstance(source, ReplayBuffer):
             data, ends = source.data, source.episode_ends
+            self.meta = dict(source.meta)
         else:
             data, ends = source
+            self.meta = {}
+        self.episode_ends = np.asarray(ends, np.int64)
         self.obs_horizon = obs_horizon
         self.pred_horizon = pred_horizon
         self.sequence_len = obs_horizon + pred_horizon

@@ -40,15 +40,21 @@ def _optimal_chunk_length(shape, dtype, target_bytes=2 * 1024 * 1024) -> int:
 
 
 class ReplayBuffer:
-    """In-memory episodic store: dict of (T_total, ...) arrays + episode_ends."""
+    """In-memory episodic store: dict of (T_total, ...) arrays + episode_ends.
+
+    `meta` holds additional per-episode arrays persisted under `meta/<key>`
+    in the zarr group (e.g. `track_seed (E,)`, written by the data-gen CLIs
+    so closed-loop evals can rebuild each episode's exact track)."""
 
     def __init__(self, data: Optional[Dict[str, np.ndarray]] = None,
-                 episode_ends: Optional[np.ndarray] = None):
+                 episode_ends: Optional[np.ndarray] = None,
+                 meta: Optional[Dict[str, np.ndarray]] = None):
         self.data: Dict[str, np.ndarray] = data or {}
         self.episode_ends: np.ndarray = (
             episode_ends if episode_ends is not None
             else np.zeros(0, np.int64)
         )
+        self.meta: Dict[str, np.ndarray] = meta or {}
 
     # -- constructors -------------------------------------------------------
     @classmethod
@@ -155,6 +161,9 @@ def save_zarr(buffer: ReplayBuffer, path: str, chunk_length: int = -1) -> None:
         write(f"data/{k}", v, (t_chunk,) + v.shape[1:])
     write("meta/episode_ends", buffer.episode_ends.astype(np.int64),
           (max(1, len(buffer.episode_ends)),))
+    for k, v in buffer.meta.items():
+        v = np.asarray(v)
+        write(f"meta/{k}", v, (max(1, v.shape[0]),) + v.shape[1:])
 
 
 def load_zarr(path: str) -> ReplayBuffer:
@@ -175,10 +184,16 @@ def load_zarr(path: str) -> ReplayBuffer:
                 continue
             store = ts.open(_ts_spec(path, f"data/{k}")).result()
             data[k] = np.asarray(store.read().result())
-        ends = np.asarray(
-            ts.open(_ts_spec(path, "meta/episode_ends")).result().read().result()
-        )
-        return ReplayBuffer(data=data, episode_ends=ends.astype(np.int64))
+        meta = {}
+        meta_dir = os.path.join(path, "meta")
+        for k in sorted(os.listdir(meta_dir)):
+            if k.startswith("."):
+                continue
+            store = ts.open(_ts_spec(path, f"meta/{k}")).result()
+            meta[k] = np.asarray(store.read().result())
+        ends = meta.pop("episode_ends")
+        return ReplayBuffer(data=data, episode_ends=ends.astype(np.int64),
+                            meta=meta)
     finally:
         if tmp is not None:
             shutil.rmtree(tmp, ignore_errors=True)

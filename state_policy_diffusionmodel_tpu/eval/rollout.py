@@ -55,13 +55,17 @@ def replay(geom: TrackGeometry, state: envs.EnvState,
 
 
 def state_at_window_start(geom: TrackGeometry, dataset_actions: np.ndarray,
-                          start_idx: int):
-    """Reset the env and replay the dataset's own actions up to the window
-    start (the reference's warm-up loop, eval_precision.py:119-126)."""
+                          n_warmup_frames: int):
+    """Reset the env and replay the dataset's own actions for
+    `n_warmup_frames` dense frames (the reference's warm-up loop,
+    eval_consistency_diffusion_actions.py:168-171: `start_idx +
+    obs_horizon * step_size` frames — i.e. through the END of the
+    observation span, since the predicted actions correspond to
+    post-observation time)."""
     state, _ = envs.reset(geom, render=False)
-    if start_idx > 0:
-        acts = jnp.asarray(dataset_actions[:start_idx])
-        state, _, _ = replay(geom, state, acts, int(start_idx))
+    if n_warmup_frames > 0:
+        acts = jnp.asarray(dataset_actions[:n_warmup_frames])
+        state, _, _ = replay(geom, state, acts, int(n_warmup_frames))
     return state
 
 

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import envs
 from ..data.dataset import WindowDataset
 from ..data import normalize as N
 from ..diffusion import DiffusionPolicy
@@ -49,13 +50,45 @@ class EvalContext:
     num_inference_steps: int = 50
 
     def __post_init__(self):
-        self._geom = None
+        self._geom_cache = {}
 
     @property
     def geom(self):
-        if self._geom is None:
-            self._geom = build_track(make_track(self.track_seed))
-        return self._geom
+        """Default-track geometry (used when the dataset carries no
+        per-episode seed metadata)."""
+        return self._geom_for_seed(self.track_seed)
+
+    def _geom_for_seed(self, seed: int):
+        if seed not in self._geom_cache:
+            self._geom_cache[seed] = build_track(make_track(seed))
+        return self._geom_cache[seed]
+
+    def episode_of(self, start: int):
+        """(episode index, ep_start, ep_end) of global frame `start`."""
+        ends = self.dataset.episode_ends
+        ep = int(np.searchsorted(ends, start, side="right"))
+        ep_start = 0 if ep == 0 else int(ends[ep - 1])
+        return ep, ep_start, int(ends[ep])
+
+    def warmed_state(self, start: int):
+        """(geom, state, episode-local dense actions, n_warm) with the env
+        warm-started through the observation span of the window starting at
+        global frame `start` — replaying only the window's own episode's
+        actions, on that episode's exact track (`meta/track_seed` when the
+        dataset records it, else `track_seed`). This is the reference's
+        warm-up loop (eval_consistency_diffusion_actions.py:168-171:
+        `start_idx + obs_horizon * step_size` frames)."""
+        cfg = self.policy.config
+        ep, ep_start, ep_end = self.episode_of(start)
+        seeds = self.dataset.meta.get("track_seed")
+        seed = int(seeds[ep]) if seeds is not None else self.track_seed
+        geom = self._geom_for_seed(seed)
+        ep_actions = np.asarray(N.unnormalize_data(
+            self.dataset.train_data["action"][ep_start:ep_end],
+            self.dataset.stats["action"]))
+        n_warm = (start - ep_start) + cfg.obs_horizon * cfg.step_size
+        state0 = rollout.state_at_window_start(geom, ep_actions, n_warm)
+        return geom, state0, ep_actions, n_warm
 
     def window(self, idx: int):
         sample, translation, start, end = self.dataset.get_window(idx)
@@ -126,14 +159,11 @@ def precision(ctx: EvalContext, window_idx: int = 70, n_runs: int = 5,
     spread = pos.std(0).mean()
 
     actions = ctx.unnormalize_actions(preds)           # (n, horizon, 3)
-    data_actions = np.asarray(
-        N.unnormalize_data(ctx.dataset.train_data["action"],
-                           ctx.dataset.stats["action"]))
-    state0 = rollout.state_at_window_start(ctx.geom, data_actions, start)
+    geom, state0, _, _ = ctx.warmed_state(start)
     frames = jax.vmap(lambda a: rollout.hold_actions(a, cfg.step_size))(
         jnp.asarray(actions[:, cfg.inpaint_horizon:]))
     n_steps = int(frames.shape[1])
-    _, traj, _ = rollout.replay_batch(ctx.geom, state0, frames, n_steps)
+    _, traj, _ = rollout.replay_batch(geom, state0, frames, n_steps)
     return {"sample_spread": float(spread), "positions": pos,
             "rollout_positions": np.asarray(traj)}
 
@@ -146,14 +176,11 @@ def action_consistency(ctx: EvalContext, window_idx: int = 70,
     batch, translation, start, _ = ctx.window(window_idx)
     preds = ctx.sample_n(batch, n_runs, seed)
     actions = ctx.unnormalize_actions(preds)[:, cfg.inpaint_horizon:]
-    data_actions = np.asarray(
-        N.unnormalize_data(ctx.dataset.train_data["action"],
-                           ctx.dataset.stats["action"]))
-    state0 = rollout.state_at_window_start(ctx.geom, data_actions, start)
+    geom, state0, _, _ = ctx.warmed_state(start)
     frames = jax.vmap(lambda a: rollout.interpolate_actions(a, cfg.step_size)
                       )(jnp.asarray(actions))
     n_steps = int(frames.shape[1])
-    _, traj, _ = rollout.replay_batch(ctx.geom, state0, frames, n_steps)
+    _, traj, _ = rollout.replay_batch(geom, state0, frames, n_steps)
     traj = np.asarray(traj)                            # (n, steps, 2)
     gt = _gt_positions(ctx, window_idx)[1:]
     gt_at_frames = gt[np.minimum(
@@ -166,11 +193,29 @@ def action_consistency(ctx: EvalContext, window_idx: int = 70,
 def robustness(ctx: EvalContext, window_idx: int = 70, n_levels: int = 5,
                seed: int = 0) -> Dict:
     """Uniform obs-noise sweep, alpha = level * 0.01 (eval_robustness.py:
-    179-191)."""
-    batch, translation, _, _ = ctx.window(window_idx)
-    gt = _gt_positions(ctx, window_idx)
+    166-322): per level, sample under noisy observations, report MSE of the
+    predicted *positions* and *actions* vs ground truth, and re-execute the
+    predicted actions closed-loop in the env (ZOH across step_size frames),
+    reporting the executed-trajectory MSE too.
+
+    Divergence from the reference (deliberate): the reference re-noises the
+    already-noisy batch each run so noise accumulates across levels
+    (`batch['image'] = batch['image'] + noise`, eval_robustness.py:183-191);
+    here each level perturbs the CLEAN batch, so alpha is the actual noise
+    scale."""
+    cfg = ctx.policy.config
+    batch, translation, start, _ = ctx.window(window_idx)
+    gt_pos = _gt_positions(ctx, window_idx)
+    sample, _, _, _ = ctx.dataset.get_window(window_idx)
+    gt_act = np.asarray(N.unnormalize_data(
+        np.asarray(sample["action"]), ctx.dataset.stats["action"]))[
+        cfg.obs_horizon - cfg.inpaint_horizon:]
+
+    geom, state0, _, _ = ctx.warmed_state(start)
+
     rng = np.random.default_rng(seed)
     rows = []
+    trajectories = []
     for level in range(n_levels):
         alpha = level * 0.01
         noisy = {k: v + alpha * jnp.asarray(
@@ -179,11 +224,29 @@ def robustness(ctx: EvalContext, window_idx: int = 70, n_levels: int = 5,
         pred = ctx.sample_n(noisy, 1, seed + level)
         pos = ctx.unnormalize_positions(pred, translation)[0]
         act = ctx.unnormalize_actions(pred)[0]
+
+        # closed-loop replay of the predicted actions under this noise level
+        frames = rollout.hold_actions(
+            jnp.asarray(act[cfg.inpaint_horizon:]), cfg.step_size)
+        n_steps = int(frames.shape[0])
+        _, traj, _ = rollout.replay(geom, state0, frames, n_steps)
+        traj = np.asarray(traj)
+        # executed positions at the window's step_size cadence vs GT:
+        # exec_pos[k] is the pose after (k+1)*step_size frames past the obs
+        # span, i.e. window step obs_horizon + k + 1 -> gt_pos index
+        # inpaint_horizon + k + 1.
+        exec_pos = traj[cfg.step_size - 1::cfg.step_size]
+        gt_exec = gt_pos[cfg.inpaint_horizon + 1:][: len(exec_pos)]
+        trajectories.append(traj)
+
         rows.append({
             "alpha": alpha,
-            "position_mse": float(((pos - gt) ** 2).mean()),
+            "position_mse": float(((pos - gt_pos) ** 2).mean()),
+            "action_mse": float(((act - gt_act) ** 2).mean()),
+            "replay_position_mse": float(
+                ((exec_pos[: len(gt_exec)] - gt_exec) ** 2).mean()),
         })
-    return {"levels": rows}
+    return {"levels": rows, "trajectories": np.stack(trajectories)}
 
 
 def compare_position_actions(ctx: EvalContext, window_idx: int = 70,
@@ -195,24 +258,70 @@ def compare_position_actions(ctx: EvalContext, window_idx: int = 70,
     pred = ctx.sample_n(batch, 1, seed)
     pos_head = ctx.unnormalize_positions(pred, translation)[0][cfg.inpaint_horizon:]
     actions = ctx.unnormalize_actions(pred)[0, cfg.inpaint_horizon:]
-    data_actions = np.asarray(
-        N.unnormalize_data(ctx.dataset.train_data["action"],
-                           ctx.dataset.stats["action"]))
-    state0 = rollout.state_at_window_start(ctx.geom, data_actions, start)
+    geom, state0, _, _ = ctx.warmed_state(start)
     frames = rollout.interpolate_actions(jnp.asarray(actions), cfg.step_size)
-    _, traj, _ = rollout.replay(ctx.geom, state0, frames, int(frames.shape[0]))
-    exec_pos = np.asarray(traj)[::cfg.step_size][: len(pos_head) - 1]
+    _, traj, _ = rollout.replay(geom, state0, frames, int(frames.shape[0]))
+    exec_pos = np.asarray(traj)[cfg.step_size - 1::cfg.step_size][
+        : len(pos_head) - 1]
     k = len(exec_pos)
     dists = np.linalg.norm(pos_head[1 : k + 1] - exec_pos, axis=-1)
     return {"pointwise_distance": dists, "position_head": pos_head,
             "executed": exec_pos}
 
 
-def smoke(ctx: EvalContext, window_idx: int = 0, seed: int = 0) -> Dict:
-    """evaluate_init.py: one sample end to end; finite outputs, right shapes."""
-    batch, translation, _, _ = ctx.window(window_idx)
+def smoke(ctx: EvalContext, window_idx: int = 0, seed: int = 0,
+          fig_path: Optional[str] = None) -> Dict:
+    """evaluate_init.py: one sample end to end, then the replay comparison of
+    `:174-223` — execute the predicted actions in the env (warm-started
+    through the observation span), separately replay the dataset's own
+    ground-truth actions over the same span, and overlay both trajectories
+    with the position head and ground-truth positions. ZOH across step_size
+    replaces the reference's dense per-frame actions (its windows there are
+    dense; ours are sparse)."""
+    cfg = ctx.policy.config
+    batch, translation, start, end = ctx.window(window_idx)
     pred = ctx.sample_n(batch, 1, seed)
     pos = ctx.unnormalize_positions(pred, translation)
     act = ctx.unnormalize_actions(pred)
     assert np.isfinite(pos).all() and np.isfinite(act).all()
-    return {"positions": pos[0], "actions": act[0]}
+
+    # executed trajectory of the predicted actions
+    geom, state0, ep_actions, n_warm = ctx.warmed_state(start)
+    frames = rollout.hold_actions(
+        jnp.asarray(act[0, cfg.inpaint_horizon:]), cfg.step_size)
+    _, pred_traj, _ = rollout.replay(
+        geom, state0, frames, int(frames.shape[0]))
+    pred_traj = np.asarray(pred_traj)
+
+    # observed trajectory from replaying the episode's own actions
+    # (evaluate_init.py:205-215), over the same post-observation span
+    state1, _ = envs.reset(geom, render=False)
+    n_total = min(n_warm + int(frames.shape[0]), len(ep_actions))
+    _, full_traj, _ = rollout.replay(
+        geom, state1, jnp.asarray(ep_actions[:n_total]), n_total)
+    gt_traj = np.asarray(full_traj)[n_warm:]
+
+    k = min(len(pred_traj), len(gt_traj))
+    replay_mse = float(((pred_traj[:k] - gt_traj[:k]) ** 2).mean())
+    gt_pos = _gt_positions(ctx, window_idx)
+
+    if fig_path is not None:
+        from ..utils import plotting
+        plt = plotting._plt()
+        fig = plt.figure()
+        plt.plot(gt_pos[:, 0], gt_pos[:, 1], "g.-", label="GT positions")
+        plt.plot(gt_traj[:, 0], gt_traj[:, 1], "c-",
+                 label="Replayed GT actions")
+        plt.plot(pred_traj[:, 0], pred_traj[:, 1], "y-",
+                 label="Replayed predicted actions")
+        plt.scatter(pos[0][:, 0], pos[0][:, 1], c="r", s=12,
+                    label="Predicted positions")
+        plt.legend(); plt.axis("equal"); plt.grid()
+        plt.title(f"smoke replay overlay (window {window_idx})")
+        fig.savefig(fig_path, dpi=120)
+        plt.close(fig)
+
+    return {"positions": pos[0], "actions": act[0],
+            "pred_replay_trajectory": pred_traj,
+            "gt_replay_trajectory": gt_traj,
+            "replay_mse": replay_mse}

@@ -90,6 +90,12 @@ def test_robustness_sweep(ctx):
     assert len(out["levels"]) == 3
     assert out["levels"][0]["alpha"] == 0.0
     assert all(np.isfinite(r["position_mse"]) for r in out["levels"])
+    # reference also reports action MSE and a closed-loop replay per level
+    # (eval_robustness.py:166-318)
+    assert all(np.isfinite(r["action_mse"]) for r in out["levels"])
+    assert all(np.isfinite(r["replay_position_mse"]) for r in out["levels"])
+    assert out["trajectories"].shape[0] == 3
+    assert np.isfinite(out["trajectories"]).all()
 
 
 def test_compare_position_actions(ctx):
@@ -97,7 +103,64 @@ def test_compare_position_actions(ctx):
     assert np.isfinite(out["pointwise_distance"]).all()
 
 
-def test_smoke(ctx):
-    out = E.smoke(ctx, window_idx=0)
+def test_warmed_state_uses_episode_track(tmp_path):
+    """A dataset generated on track seed 7 (recorded in meta/track_seed)
+    must replay its own actions back onto its own trajectory exactly, even
+    when the EvalContext default track_seed differs."""
+    seed = 7
+    n = 120
+    geom = T.build(T.make_track(seed), bake=False)
+    state, res0 = envs.reset(geom, render=False)
+    acts = np.tile(np.array([0.05, 0.4, 0.0], np.float32), (n, 1))
+    _, pos, (vel, _) = E.replay(geom, state, jnp.asarray(acts), n)
+    pos, vel = np.asarray(pos), np.asarray(vel)
+    # collect.py record alignment: position[t] = pose BEFORE action[t]
+    positions = np.concatenate(
+        [np.asarray(res0.info.car_position)[None], pos[:-1]]).astype(np.float32)
+    velocities = np.concatenate(
+        [np.asarray(res0.info.car_velocity)[None], vel[:-1]]).astype(np.float32)
+
+    buf = ReplayBuffer.create_empty_numpy()
+    buf.add_episode({
+        "img": np.zeros((n, 8, 8, 3), np.float32),
+        "position": positions, "velocity": velocities, "action": acts,
+    })
+    buf.meta["track_seed"] = np.array([seed], np.int64)
+    path = str(tmp_path / "ds.zarr")
+    buf.save_to_path(path)
+    loaded = ReplayBuffer.copy_from_path(path)
+    assert loaded.meta["track_seed"].tolist() == [seed]
+
+    cfg = diffusion.PolicyConfig(
+        noise_steps=10, obs_horizon=4, pred_horizon=6, inpaint_horizon=1,
+        model="UNet", vision_encoder="none", step_size=2)
+    pol = diffusion.DiffusionPolicy(cfg)
+    train_ds = WindowDataset(loaded, 4, 6, step_size=2)
+    infer_ds = WindowDataset(loaded, 4, 6, step_size=2, stats=train_ds.stats)
+    c = E.EvalContext(policy=pol, params=None, dataset=infer_ds,
+                      track_seed=42)  # deliberately NOT the episode's seed
+
+    _, _, start, _ = c.window(10)
+    g, s0, ep_actions, n_warm = c.warmed_state(start)
+    np.testing.assert_allclose(np.asarray(ep_actions), acts, atol=1e-5)
+    # the warmed state must sit exactly on the recorded trajectory
+    np.testing.assert_allclose(
+        np.asarray(s0.car.pos), positions[n_warm], atol=1e-4)
+    # and continuing with the episode's own actions must reproduce it
+    _, cont, _ = E.replay(g, s0, jnp.asarray(acts[n_warm:n_warm + 10]), 10)
+    np.testing.assert_allclose(
+        np.asarray(cont), positions[n_warm + 1:n_warm + 11], atol=1e-4)
+
+
+def test_smoke(ctx, tmp_path):
+    fig = str(tmp_path / "overlay.png")
+    out = E.smoke(ctx, window_idx=0, fig_path=fig)
     assert out["positions"].shape == (7, 2)
     assert out["actions"].shape == (7, 3)
+    # replay comparison (evaluate_init.py:174-223): predicted vs GT actions
+    # executed in the env over the same post-observation span
+    assert out["pred_replay_trajectory"].shape == (12, 2)  # 6 sparse * ss 2
+    assert len(out["gt_replay_trajectory"]) > 0
+    assert np.isfinite(out["replay_mse"])
+    import os
+    assert os.path.exists(fig)
