@@ -414,18 +414,38 @@ def _overlay_layer(overlay: Overlay, wx, wy, scroll, angle):
     bwx, bwy = bw[:, 0] * sx, bw[:, 1] * sy
     pfx, pfy = wx * sx, wy * sy                         # pixel planes
 
-    hit = jnp.zeros(FLAT, bool)
-    for s in range(a.shape[0]):
-        dx = bwx[s] - awx[s]
-        dy = bwy[s] - awy[s]
+    # Segments are processed in fixed CHUNK-sized batches under one lax.scan:
+    # compile time stays O(1) in the segment count (the reference buffer
+    # holds up to 100 polylines, car_racing.py:704-710 — a python unroll of
+    # K*(L-1) plane ops would blow up the compile), while each chunk is
+    # fully vectorized (CHUNK, 72, 128) on the VPU.
+    CHUNK = 32
+    S = a.shape[0]
+    pad = (-S) % CHUNK
+    if pad:
+        zf = jnp.zeros(pad, F32)
+        awx, awy, bwx, bwy = (jnp.concatenate([v, zf])
+                              for v in (awx, awy, bwx, bwy))
+        seg_ok = jnp.concatenate([seg_ok, jnp.zeros(pad, bool)])
+    n_chunks = (S + pad) // CHUNK
+
+    def body(hit, c):
+        ax, ay, bx, by, ok = c                              # (CHUNK,)
+        dx = (bx - ax)[:, None, None]
+        dy = (by - ay)[:, None, None]
         l2 = jnp.maximum(dx * dx + dy * dy, 1e-9)
-        apx = pfx - awx[s]
-        apy = pfy - awy[s]
+        apx = pfx[None] - ax[:, None, None]                 # (CHUNK, 72, 128)
+        apy = pfy[None] - ay[:, None, None]
         t = jnp.clip((apx * dx + apy * dy) / l2, 0.0, 1.0)
         cx = apx - t * dx
         cy = apy - t * dy
         dist2 = cx * cx + cy * cy
-        hit = hit | ((dist2 <= 0.5 ** 2) & seg_ok[s])
+        near = (dist2 <= 0.5 ** 2) & ok[:, None, None]
+        return hit | jnp.any(near, axis=0), None
+
+    chunks = tuple(v.reshape(n_chunks, CHUNK)
+                   for v in (awx, awy, bwx, bwy, seg_ok))
+    hit, _ = jax.lax.scan(body, jnp.zeros(FLAT, bool), chunks)
     return jnp.where(hit, jnp.int32(L_POINTS), 0)
 
 

@@ -171,6 +171,67 @@ def test_palette_matches_float_rounding():
     np.testing.assert_array_equal(pal[raster.L_CAR0 + 1], ref([0.3, 0.3, 0.3]))
 
 
+def test_hud_indicator_geometry(geom):
+    """Reference HUD geometry (car_racing.py:713-773): s=W/40, h=H/40;
+    speed bar at place 5 (white, val=0.02*speed), ABS bars at places 7-10
+    (blue / (0.2,0,1), val=0.01*omega), steering at place 20 (green, horiz,
+    val=-10*joint_angle), gyro at place 30 (red, horiz, val=-0.8*angvel).
+    Window -> state mapping: col = wx*96/1000, row = 95 - wy*96/800."""
+    state = envs.init(geom)
+    car = state.car._replace(
+        vel=jnp.array([50.0, 0.0]),                      # speed 50: val 1.0
+        omega=jnp.full(4, 100.0),                        # val 1.0
+        joint_angle=jnp.array([-0.2, -0.2, 0.0, 0.0]),   # val 2.0
+        angular_vel=jnp.asarray(-1.25),                  # val 1.0
+    )
+    obs, _ = jax.jit(render)(car, geom)
+    obs = np.asarray(obs)
+    # speed bar: wx in [125,150] -> col 13; wy in [20,40] -> rows 91-92
+    np.testing.assert_array_equal(obs[91, 13], [255, 255, 255])
+    np.testing.assert_array_equal(obs[92, 13], [255, 255, 255])
+    # ABS wheel 0 at place 7 (wx 175-200 -> col 18), pure blue
+    np.testing.assert_array_equal(obs[91, 18], [0, 0, 255])
+    # ABS wheel 2 at place 9 (wx 225-250 -> col 23), (0.2,0,1)
+    np.testing.assert_array_equal(obs[91, 23], [51, 0, 255])
+    # steering: wx [500,550] -> col 50; wy [40,80] -> row 88, green
+    np.testing.assert_array_equal(obs[88, 50], [0, 255, 0])
+    # gyro: wx [750,775] -> col 73, red
+    np.testing.assert_array_equal(obs[88, 73], [255, 0, 0])
+    # HUD bar itself is black between indicators
+    np.testing.assert_array_equal(obs[91, 40], [0, 0, 0])
+
+
+def test_lane_colors_at_reference_offsets(reset_state):
+    """The five behavior lanes (car_racing.py:382-414,657-676): yellow at
+    -(W+2), cyan at -(W-2), magenta center, purple +(W-2), blue +(W+2).
+    In the augmented frame they must appear in that lateral order with
+    world gaps 4, 4.67, 4.67, 4 units = 6.2, 7.3, 7.3, 6.2 px at the fixed
+    zoom (16.2 * 96/1000 = 1.555 px/unit)."""
+    _, res = reset_state
+    augm = np.asarray(res.augmented)
+    LANES = {
+        "yellow": (255, 255, 0), "cyan": (0, 255, 255),
+        "magenta": (255, 0, 255), "purple": (128, 26, 128),
+        "blue": (0, 0, 255),
+    }
+    names = list(LANES)
+    found = None
+    for row in range(20, 62):       # above the car band, below the horizon
+        cols = {}
+        for nm, c in LANES.items():
+            m = np.all(augm[row] == np.array(c, np.uint8), -1)
+            if m.any():
+                cols[nm] = float(np.flatnonzero(m).mean())
+        if len(cols) == 5:
+            found = cols
+            break
+    assert found, "no scan row shows all five lanes"
+    seq = np.array([found[n] for n in names])
+    d = np.diff(seq)
+    assert (d > 0).all() or (d < 0).all(), f"lanes out of order: {found}"
+    np.testing.assert_allclose(np.abs(d), [6.2, 7.3, 7.3, 6.2], atol=2.5)
+
+
 def test_render_overlay_draws_red_points(geom, reset_state):
     state, res0 = reset_state
     from state_policy_diffusionmodel_tpu.render import Overlay
@@ -184,6 +245,28 @@ def test_render_overlay_draws_red_points(geom, reset_state):
     red = (obs[..., 0] == 255) & (obs[..., 1] == 0) & (obs[..., 2] == 0)
     red0 = (obs0[..., 0] == 255) & (obs0[..., 1] == 0) & (obs0[..., 2] == 0)
     assert red.sum() > red0.sum()  # overlay added red pixels
+
+
+def test_render_overlay_reference_scale(geom, reset_state):
+    """The reference points buffer holds up to 100 polylines
+    (car_racing.py:704-710, deque maxlen=100); rendering at that scale must
+    compile in bounded time (chunked-scan segment loop, not a python
+    unroll) and still draw."""
+    state, res0 = reset_state
+    from state_policy_diffusionmodel_tpu.render import Overlay
+
+    k, L = 100, 8
+    offs = np.stack(np.meshgrid(np.arange(k), np.arange(L),
+                                indexing="ij"), -1).astype(np.float32)
+    pts = jnp.asarray(np.asarray(state.car.pos) +
+                      offs * np.float32(0.5) - 10.0)       # (100, 8, 2)
+    ov = Overlay(points=pts, valid=jnp.ones(k, bool))
+    obs, augm = jax.jit(render)(state.car, geom, ov)
+    obs = np.asarray(obs)
+    red = (obs[..., 0] == 255) & (obs[..., 1] == 0) & (obs[..., 2] == 0)
+    obs0 = np.asarray(res0.obs)
+    red0 = (obs0[..., 0] == 255) & (obs0[..., 1] == 0) & (obs0[..., 2] == 0)
+    assert red.sum() > red0.sum()
 
 
 def test_sharded_rollout_over_mesh(geom):

@@ -82,3 +82,42 @@ def test_stack_batches():
     q = jax.vmap(T.nearest_segment)(batch, batch.seg_b[:, 5])
     dist = q.dist
     assert dist.shape == (2,)
+
+
+def test_border_texture_alternation():
+    """Border quads on hard turns alternate white (even tile index) / red
+    (odd) and sit on the outside of the turn, side = sign(beta_prev - beta_i)
+    (car_racing.py:311-325,359-379)."""
+    from state_policy_diffusionmodel_tpu.track import texture as tx
+    from state_policy_diffusionmodel_tpu.track.generator import (
+        BORDER, TRACK_WIDTH, PLAYFIELD)
+
+    tr = T.make_track(11)
+    assert tr.border[: tr.n].any(), "seed 11 must have hard-turn borders"
+    tex = tx.bake_texture(tr)
+    n = tr.n
+    pts, beta = tr.xy[:n], tr.beta[:n]
+    u = np.stack([np.cos(beta), np.sin(beta)], -1)
+    s = tx.world_to_texel_scale(tex.shape[0])
+
+    checked = matched = 0
+    seen = set()
+    for i in range(n):
+        if not tr.border[i]:
+            continue
+        j = (i - 1) % n
+        side = np.sign(beta[j] - beta[i]) or 1.0
+        mid = 0.5 * (pts[i] + pts[j]) + side * (
+            TRACK_WIDTH + BORDER / 2.0) * 0.5 * (u[i] + u[j])
+        ti, tj = np.floor((mid + PLAYFIELD) * s).astype(int)
+        expected = tx.BORDER_WHITE if i % 2 == 0 else tx.BORDER_RED
+        got = tex[ti, tj, 0]
+        checked += 1
+        matched += int(got == expected)
+        if got in (tx.BORDER_WHITE, tx.BORDER_RED):
+            seen.add(int(got))
+    assert checked > 20
+    # centers can be overdrawn where consecutive border quads overlap on
+    # tight turns; the alternation must still dominate
+    assert matched / checked > 0.8, (matched, checked)
+    assert seen == {tx.BORDER_WHITE, tx.BORDER_RED}
