@@ -104,7 +104,8 @@ def bench_env(n_envs: int, n_steps: int, repeats: int, render: bool,
     return n_envs * n_steps / best
 
 
-def bench_policy(n_envs: int, repeats: int, amp: bool = True):
+def bench_policy(n_envs: int, repeats: int, amp: bool = True,
+                 profile_dir: str | None = None):
     """Closed-loop diffusion policy: envs step at 50 Hz sim time; every
     `step_size` frames the policy denoises (DDIM-10) from the rolling obs
     window and commits the next actions — all inside one jit.  amp=True
@@ -188,6 +189,12 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True):
         states, hist, chk = rollout(states, hist, rng)
         float(chk)
         times.append(time.perf_counter() - t0)
+    if profile_dir:
+        from state_policy_diffusionmodel_tpu.utils import profiling
+        with profiling.trace(profile_dir):
+            states, hist, chk = rollout(states, hist, rng)
+            float(chk)
+        _log(f"[bench] jax.profiler trace written to {profile_dir}")
     frames_per_sec = n_envs * n_frames / min(times)
     return frames_per_sec
 
@@ -209,6 +216,9 @@ def main():
     ap.add_argument("--unique-tracks", type=int, default=16)
     ap.add_argument("--no-amp", action="store_true",
                     help="policy mode: run the denoiser in fp32 instead of bf16")
+    ap.add_argument("--profile-dir", default=None,
+                    help="policy mode: capture one jax.profiler trace of the "
+                         "measured rollout into this directory")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes for CPU smoke testing")
     args = ap.parse_args()
@@ -221,7 +231,8 @@ def main():
 
     if args.mode == "policy":
         value = bench_policy(max(args.envs // 16, 1) if args.smoke else args.envs,
-                             args.repeats, amp=not args.no_amp)
+                             args.repeats, amp=not args.no_amp,
+                             profile_dir=args.profile_dir)
         # real time = 50 sim frames per wall second per env
         realtime_factor = value / (50.0 * args.envs)
         out = {

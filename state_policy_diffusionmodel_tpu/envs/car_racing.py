@@ -153,6 +153,13 @@ def _finish(state: EnvState, had_action: bool):
     return state, step_reward
 
 
+def render_score(state: EnvState, had_action: bool) -> jax.Array:
+    """The value the score label shows at render time: the reference renders
+    BEFORE this frame's -0.1 deduction (car_racing.py:459 vs :464), which
+    physics_step has already applied when an action was given."""
+    return state.reward + (0.1 if had_action else 0.0)
+
+
 def step(
     state: EnvState,
     geom: TrackGeometry,
@@ -164,7 +171,8 @@ def step(
     state, step_reward = _finish(state, action is not None)
 
     if render:
-        obs, augm = raster.render(state.car, geom, overlay)
+        obs, augm = raster.render(state.car, geom, overlay,
+                                  score=render_score(state, action is not None))
     else:
         obs = jnp.zeros((96, 96, 3), jnp.uint8)
         augm = obs

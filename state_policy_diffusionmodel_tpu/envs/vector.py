@@ -43,16 +43,18 @@ def reset_batch(geoms: TrackGeometry, render: bool = True, track_ids=None):
     else:
         states, res = jax.vmap(lambda t: f(gather_geom(geoms, t)))(track_ids)
     if render and _use_fused_render():
-        res = _render_fused(states, res, geoms, track_ids)
+        res = _render_fused(states, res, geoms, track_ids, had_action=False)
     return states, res
 
 
-def _render_fused(states, res, geoms, track_ids):
+def _render_fused(states, res, geoms, track_ids, had_action: bool):
     from ..render.raster import render_batch_banked
 
     if track_ids is None:
         track_ids = jnp.arange(res.reward.shape[0], dtype=jnp.int32)
-    obs, augm = render_batch_banked(states.car, geoms.tex, track_ids)
+    score = jax.vmap(env.render_score, in_axes=(0, None))(states, had_action)
+    obs, augm = render_batch_banked(states.car, geoms.tex, track_ids,
+                                    score=score)
     return res._replace(obs=obs, augmented=augm)
 
 
@@ -77,7 +79,7 @@ def step_batch(states, geoms, actions, render: bool = True, track_ids=None):
                                      render=inner_render)
         )(states, track_ids, actions)
     if fused:
-        res = _render_fused(states, res, geoms, track_ids)
+        res = _render_fused(states, res, geoms, track_ids, had_action=True)
     return states, res
 
 

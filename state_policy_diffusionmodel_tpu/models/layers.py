@@ -19,11 +19,14 @@ Semantics preserved from the reference:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from . import pallas_ops
 
 
 def sinusoidal_time_embedding(t: jax.Array, dim: int) -> jax.Array:
@@ -89,6 +92,11 @@ class Conv3x3(nn.Module):
     denoiser (32x8 feature maps; ~20 convs made one U-Net forward take 355 s
     to compile, measured).  Nine static shifted slices + one dot compile in
     well under a second and map onto better MXU shapes at these sizes.
+
+    On TPU the im2col patches tensor is never materialized: a Pallas kernel
+    accumulates the nine shifted matmuls in VMEM (pallas_ops.conv3x3) —
+    profiling showed patch assembly + re-read was ~2/3 of the denoiser's
+    HBM traffic.
     """
 
     features: int
@@ -98,14 +106,8 @@ class Conv3x3(nn.Module):
         B, H, W, Cin = x.shape
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, Cin, self.features))
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        patches = jnp.concatenate(
-            [xp[:, i:i + H, j:j + W, :] for i in range(3) for j in range(3)],
-            axis=-1)                                   # (B, H, W, 9*Cin)
         w = kernel.reshape(9 * Cin, self.features)     # (i, j, cin) row-major
-        return jax.lax.dot_general(
-            patches, w, (((3,), (0,)), ((), ())),
-            preferred_element_type=x.dtype)
+        return pallas_ops.conv3x3(x, w.astype(x.dtype))
 
 
 class DoubleConv(nn.Module):
@@ -131,6 +133,38 @@ class DoubleConv(nn.Module):
         return x
 
 
+class _MHA(nn.Module):
+    """Multi-head attention, parameter-compatible with
+    `nn.MultiHeadDotProductAttention` (same query/key/value/out DenseGeneral
+    tree and init order), but with the softmax(qk^T)v core routed through
+    `pallas_ops.attention_core`: on TPU the (B*heads, T, T) score tensor
+    stays in VMEM instead of round-tripping HBM in f32."""
+
+    num_heads: int
+    qkv_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, C = x.shape
+        Dh = self.qkv_features // self.num_heads
+        dense = partial(nn.DenseGeneral, features=(self.num_heads, Dh),
+                        dtype=x.dtype)
+        q = dense(name="query")(x)                     # (B, T, H, Dh)
+        k = dense(name="key")(x)
+        v = dense(name="value")(x)
+
+        def heads_first(t):                            # (B*H, T, Dh)
+            return t.transpose(0, 2, 1, 3).reshape(
+                B * self.num_heads, T, Dh)
+
+        out = pallas_ops.attention_core(
+            heads_first(q), heads_first(k), heads_first(v))
+        out = out.reshape(B, self.num_heads, T, Dh).transpose(0, 2, 1, 3)
+        return nn.DenseGeneral(self.out_features, axis=(-2, -1),
+                               dtype=x.dtype, name="out")(out)
+
+
 class SelfAttention(nn.Module):
     channels: int
 
@@ -139,8 +173,8 @@ class SelfAttention(nn.Module):
         B, H, W, C = x.shape
         tokens = x.reshape(B, H * W, C)
         ln = nn.LayerNorm()(tokens)
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=4, qkv_features=C, out_features=C)(ln, ln)
+        attn = _MHA(num_heads=4, qkv_features=C, out_features=C,
+                    name="MultiHeadDotProductAttention_0")(ln)
         tokens = attn + tokens
         ff = nn.LayerNorm()(tokens)
         ff = nn.Dense(C)(ff)

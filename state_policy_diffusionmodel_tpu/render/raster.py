@@ -29,8 +29,11 @@ per-lane gather, so nearest-neighbor sampling is a one-hot row gather matmul
 over a 128x128 window of the packed track texture dynamic-sliced around the
 viewport (the 96x96 viewport spans at most ~122 texels at the fixed zoom).
 
-Known divergence from the reference (documented): the pyglet score label
-(bottom-left "0000" text, car_racing.py:774) is not rasterized.
+The pyglet score label (bottom-left "%04i" text, car_racing.py:504-512,774)
+is rasterized as a 7-segment approximation at the label's exact window
+position/size (font_size 36 at x=20, y=50): pyglet's GL font atlas is not
+reproducible without the font file, but the digits land on the same pixels
+with the same color. Pass `score=None` to omit it.
 """
 
 from __future__ import annotations
@@ -93,6 +96,10 @@ GRASS_K = PLAYFIELD / 20.0
 # |true_speed| <= 550 m/s); image rows [66.7, 96) = flat rows 50..72.
 CAR_ROWS = (45, 63)
 HUD_ROWS = (50, 72)
+# score label: font_size 36 anchored (left, center) at window (20, 50)
+# (car_racing.py:504-512) -> glyphs span wy in [37.5, 62.5], image rows
+# 88..91; with subsample extents that is flat rows 65..69
+SCORE_ROWS = (65, 70)
 
 # HUD indicator colors in draw order (car_racing.py:713-773)
 HUD_COLORS = np.array([
@@ -118,6 +125,7 @@ L_POINTS = 13
 L_CAR0 = 14          # 14..25: wheel0, rim0, ..., hull1..4 in draw order
 L_HUD_BAR = 26
 L_HUD0 = 27          # 27..33: indicator quads
+L_SCORE = 34         # score digits (drawn last, car_racing.py:774-775)
 N_LAYERS = 64        # palette rows (padded for the one-hot matmul)
 
 
@@ -142,6 +150,7 @@ def _build_palette() -> np.ndarray:
     pal[L_CAR0 + 8:L_CAR0 + 12] = _u8(HULL_COLOR)
     pal[L_HUD_BAR] = 0
     pal[L_HUD0:L_HUD0 + 7] = _u8(HUD_COLORS)
+    pal[L_SCORE] = 255                      # white, car_racing.py:511
     return pal
 
 
@@ -343,6 +352,68 @@ def _indicator_quads(car: CarState, hull_vel):
     ])
 
 
+# 7-segment glyph geometry (window px inside a 16x25 digit cell; the label
+# is font_size 36 -> ~25 px cap height, ~20 px advance).  Segment rects as
+# (u0, u1, v0, v1); segment order: top, top-right, bottom-right, bottom,
+# bottom-left, top-left, middle.
+_SCORE_X0, _SCORE_ADV, _SCORE_Y0 = 20.0, 20.0, 37.5
+_SEG_T = 4.5
+_SEG_RECTS = np.array([
+    (1.0, 15.0, 25.0 - _SEG_T, 25.0),            # top
+    (16.0 - _SEG_T, 16.0, 12.5, 25.0),           # top-right
+    (16.0 - _SEG_T, 16.0, 0.0, 12.5),            # bottom-right
+    (1.0, 15.0, 0.0, _SEG_T),                    # bottom
+    (0.0, _SEG_T, 0.0, 12.5),                    # bottom-left
+    (0.0, _SEG_T, 12.5, 25.0),                   # top-left
+    (1.0, 15.0, 12.5 - _SEG_T / 2, 12.5 + _SEG_T / 2),  # middle
+], np.float32)
+# per-char segment bitmasks: digits 0-9 then '-' (index 10)
+_SEG_BITS = np.array([63, 6, 91, 79, 102, 109, 125, 7, 127, 111, 64],
+                     np.int32)
+
+
+def _score_chars(score: jax.Array) -> jax.Array:
+    """The 4 glyphs of `"%04i" % score` (digit value, or 10 for '-')."""
+    val = jnp.trunc(score).astype(jnp.int32)       # C %i truncates toward 0
+    a = jnp.abs(val)
+    d = jnp.stack([(a // 1000) % 10, (a // 100) % 10, (a // 10) % 10, a % 10])
+    return jnp.where(val < 0, jnp.concatenate([jnp.full((1,), 10), d[1:]]), d)
+
+
+def _score_layer(wx, wy, score: jax.Array) -> jax.Array:
+    """Score digits as a layer plane over the given window-coord planes.
+
+    Binary approximation of the GL alpha-blended label: 4x4 subsample
+    coverage per pixel, lit where coverage >= 0.25 (strokes are ~0.4-0.5 of
+    a 96x96 pixel wide, so antialiased gray in GL becomes solid white here).
+    """
+    chars = _score_chars(score)                              # (4,) int32
+    segbits = jnp.asarray(_SEG_BITS)[chars]                  # (4,)
+    dxw = camera.WINDOW_W / camera.STATE_W
+    dyw = camera.WINDOW_H / camera.STATE_H
+    offs = (jnp.arange(4, dtype=F32) + 0.5) / 4.0 - 0.5      # subsample grid
+    # (16, R, 128) subsample window coords
+    sx = wx[None] + (jnp.repeat(offs, 4) * dxw)[:, None, None]
+    sy = wy[None] + (jnp.tile(offs, 4) * dyw)[:, None, None]
+
+    gx = sx - _SCORE_X0
+    slot = jnp.floor(gx / _SCORE_ADV).astype(jnp.int32)
+    in_slots = (slot >= 0) & (slot < 4)
+    slot_c = jnp.clip(slot, 0, 3)
+    u = gx - slot_c.astype(F32) * _SCORE_ADV
+    v = sy - _SCORE_Y0
+
+    bits = jnp.zeros(slot.shape, jnp.int32)
+    for k in range(4):
+        bits = jnp.where(slot_c == k, segbits[k], bits)
+    inside = jnp.zeros(slot.shape, bool)
+    for j, (u0, u1, v0, v1) in enumerate(_SEG_RECTS):
+        hit = (u >= u0) & (u <= u1) & (v >= v0) & (v <= v1)
+        inside = inside | (hit & ((bits >> j) & 1).astype(bool))
+    coverage = jnp.mean((inside & in_slots).astype(F32), axis=0)
+    return jnp.where(coverage >= 0.25, jnp.int32(L_SCORE), 0)
+
+
 def _hud_layer(wx, wy, car: CarState, hull_vel):
     """HUD bar + indicator quads as a layer plane.  The quads are all
     axis-aligned rectangles in window coords (car_racing.py:713-773), so the
@@ -464,6 +535,7 @@ def _compose(
     base_idx: jax.Array,
     lane_idx: jax.Array,
     overlay: Optional[Overlay] = None,
+    score: Optional[jax.Array] = None,
 ):
     """Everything after texel sampling: layer composition + colorization."""
     hull_vel = hull_com_velocity(car)
@@ -495,6 +567,13 @@ def _compose(
     hud_band = _hud_layer(wx[h0:h1], wy[h0:h1], car, hull_vel)
     layer = layer.at[h0:h1].set(jnp.maximum(layer[h0:h1], hud_band))
 
+    # score digits (drawn last in the reference, car_racing.py:774-775),
+    # likewise restricted to their static row band
+    if score is not None:
+        s0, s1 = SCORE_ROWS
+        score_band = _score_layer(wx[s0:s1], wy[s0:s1], score)
+        layer = layer.at[s0:s1].set(jnp.maximum(layer[s0:s1], score_band))
+
     # lanes sit above road/grass but below points/car/HUD: exactly max order.
     # The augmented frame differs from the state frame only where a lane
     # index wins the max, and lanes take just 5 palette entries — so instead
@@ -518,6 +597,7 @@ def render(
     car: CarState,
     geom: TrackGeometry,
     overlay: Optional[Overlay] = None,
+    score: Optional[jax.Array] = None,
 ):
     """Render one env. Returns (state, augmented): (96, 96, 3) uint8 each."""
     hull_vel = hull_com_velocity(car)
@@ -527,10 +607,15 @@ def render(
     px = c * rx + s * ry + car.pos[0]
     py = -s * rx + c * ry + car.pos[1]
     base_idx, lane_idx = _sample_texture_mxu(geom, px, py)
-    return _compose(car, base_idx, lane_idx, overlay)
+    return _compose(car, base_idx, lane_idx, overlay, score)
 
 
-render_batch = jax.vmap(render, in_axes=(0, 0, None))
+def render_batch(cars: CarState, geoms: TrackGeometry,
+                 overlay: Optional[Overlay] = None,
+                 score: Optional[jax.Array] = None):
+    return jax.vmap(render, in_axes=(0, 0, None,
+                                     None if score is None else 0)
+                    )(cars, geoms, overlay, score)
 
 
 def render_batch_banked(
@@ -538,6 +623,7 @@ def render_batch_banked(
     tex_bank: jax.Array,
     track_ids: jax.Array,
     overlay: Optional[Overlay] = None,
+    score: Optional[jax.Array] = None,
 ):
     """Batched render against a bank of track textures (TPU fast path).
 
@@ -555,5 +641,8 @@ def render_batch_banked(
     vals = pallas_sampler.sample_banked(
         tex_bank, track_ids, c, s, cars.pos, rx, ry)
     base_idx, lane_idx = vals // 8, vals % 8
-    return jax.vmap(lambda car, b, l: _compose(car, b, l, overlay))(
-        cars, base_idx, lane_idx)
+    if score is None:
+        return jax.vmap(lambda car, b, l: _compose(car, b, l, overlay))(
+            cars, base_idx, lane_idx)
+    return jax.vmap(lambda car, b, l, sc: _compose(car, b, l, overlay, sc))(
+        cars, base_idx, lane_idx, score)

@@ -1,0 +1,145 @@
+"""Parity tests for the denoiser's Pallas TPU kernels (pallas_ops).
+
+The kernels only run on real TPUs; here the Pallas bodies execute in
+interpreter mode and must match the reference XLA formulations bitwise-ish
+(f32 rounding), and the custom VJPs must match autodiff of the XLA math.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from state_policy_diffusionmodel_tpu.models import pallas_ops as po
+
+
+@pytest.fixture()
+def interpret(monkeypatch):
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(pl.pallas_call, interpret=True))
+
+
+def _rand(rng, shape, scale=1.0):
+    return jnp.asarray(rng.normal(size=shape) * scale, jnp.float32)
+
+
+@pytest.mark.parametrize("shape,cout", [
+    ((4, 32, 8, 16), 32),    # top U-Net level
+    ((8, 8, 2, 64), 32),     # deep level, W=2
+    ((16, 4, 1, 32), 16),    # bottleneck level, W=1
+])
+def test_conv3x3_pallas_matches_xla(interpret, shape, cout):
+    rng = np.random.default_rng(0)
+    x = _rand(rng, shape)
+    w = _rand(rng, (9 * shape[-1], cout), 0.1)
+    got = po._conv3x3_pallas(x, w)
+    want = po._conv3x3_xla(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_batch_tile_respects_vmem():
+    for isz in (2, 4):
+        for (h, w, cin, cout) in [(8, 2, 512, 512), (16, 4, 256, 256),
+                                  (32, 8, 128, 128)]:
+            tb = po._conv_batch_tile(256, h, w, cin, cout, isz)
+            assert 1 <= tb <= 256 and 256 % tb == 0
+            used = (2 * tb * (h + 2) * (w + 2) * cin * isz
+                    + 2 * tb * h * w * cout * isz
+                    + tb * h * w * cout * 4 + tb * h * w * cin * isz
+                    + 9 * cin * cout * isz)
+            assert used <= 10 * 1024 * 1024, (isz, h, w, cin, cout, tb)
+
+
+def test_conv3x3_custom_vjp_matches_autodiff():
+    rng = np.random.default_rng(1)
+    x = _rand(rng, (4, 8, 8, 16))
+    w = _rand(rng, (9 * 16, 24), 0.1)
+
+    def loss_custom(x, w):
+        return jnp.sum(jnp.sin(po.conv3x3(x, w)))
+
+    def loss_ref(x, w):
+        return jnp.sum(jnp.sin(po._conv3x3_xla(x, w)))
+
+    g1 = jax.grad(loss_custom, (0, 1))(x, w)
+    g2 = jax.grad(loss_ref, (0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("bh,t,dh", [(8, 64, 16), (16, 16, 32), (4, 256, 16)])
+def test_attention_pallas_matches_xla(interpret, bh, t, dh):
+    rng = np.random.default_rng(2)
+    q, k, v = (_rand(rng, (bh, t, dh)) for _ in range(3))
+    got = po._attn_pallas(q, k, v)
+    want = po._attn_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_attention_custom_vjp_matches_autodiff():
+    rng = np.random.default_rng(3)
+    q, k, v = (_rand(rng, (8, 32, 16)) for _ in range(3))
+
+    def loss_custom(q, k, v):
+        return jnp.sum(jnp.cos(po.attention_core(q, k, v)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.cos(po._attn_xla(q, k, v)))
+
+    g1 = jax.grad(loss_custom, (0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_mha_module_param_tree_matches_flax():
+    """_MHA must keep nn.MultiHeadDotProductAttention's parameter tree so
+    checkpoints and init seeds stay interchangeable."""
+    from flax import linen as nn
+
+    from state_policy_diffusionmodel_tpu.models.layers import SelfAttention
+
+    sa = SelfAttention(channels=32)
+    params = sa.init(jax.random.key(0), jnp.zeros((2, 4, 4, 32)))["params"]
+    mha = params["MultiHeadDotProductAttention_0"]
+    assert set(mha) == {"query", "key", "value", "out"}
+    assert mha["query"]["kernel"].shape == (32, 4, 8)
+    assert mha["out"]["kernel"].shape == (4, 8, 32)
+
+    class FlaxSA(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            B, H, W, C = x.shape
+            tokens = x.reshape(B, H * W, C)
+            ln = nn.LayerNorm()(tokens)
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=4, qkv_features=C, out_features=C)(ln, ln)
+            tokens = attn + tokens
+            ff = nn.LayerNorm()(tokens)
+            ff = nn.Dense(C)(ff)
+            ff = nn.gelu(ff, approximate=False)
+            ff = nn.Dense(C)(ff)
+            tokens = ff + tokens
+            return tokens.reshape(B, H, W, C)
+
+    ref_params = FlaxSA().init(jax.random.key(0),
+                               jnp.zeros((2, 4, 4, 32)))["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(ref_params)
+    # identical init RNG consumption -> identical initial weights
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # and (given identical params) identical attention output at f32
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(2, 4, 4, 32)),
+                    jnp.float32)
+    out_new = sa.apply({"params": params}, x)
+    out_ref = FlaxSA().apply({"params": ref_params}, x)
+    np.testing.assert_allclose(np.asarray(out_new), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)

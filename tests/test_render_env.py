@@ -299,3 +299,40 @@ def test_sharded_rollout_over_mesh(geom):
                                np.asarray(traj2.reward), atol=1e-6)
     np.testing.assert_allclose(np.asarray(s1.car.pos),
                                np.asarray(s2.car.pos), atol=1e-5)
+
+
+def test_score_label_rasterization(geom, reset_state):
+    """The pyglet score label ("%04i" % reward, font_size 36 at window
+    (20, 50), white — car_racing.py:504-512,774-775) is approximated as
+    7-segment digits on the same pixels."""
+    from state_policy_diffusionmodel_tpu.render import raster
+
+    state, res = reset_state
+
+    def white_px(obs):
+        return (np.asarray(obs) == 255).all(-1)
+
+    # env frames include the label: white pixels confined to the label's
+    # footprint (window x in [20,100], y in [37.5,62.5] -> rows ~87-92,
+    # cols ~1-10), inside the otherwise-black HUD bar
+    w = white_px(res.obs)
+    assert w[86:93, :12].sum() >= 10
+    assert w[86:93, 16:].sum() == 0          # nothing right of the label
+    assert w[93:, :].sum() == 0 and w[84:86, :].sum() == 0
+
+    rend = jax.jit(raster.render)
+    obs_a, augm_a = rend(state.car, geom, None, jnp.float32(123.0))
+    obs_b, _ = rend(state.car, geom, None, jnp.float32(-5.0))
+    obs_none, _ = rend(state.car, geom)
+    # distinct scores -> distinct glyph patterns; augmented frame matches
+    assert (white_px(obs_a) != white_px(obs_b)).any()
+    np.testing.assert_array_equal(np.asarray(obs_a)[84:],
+                                  np.asarray(augm_a)[84:])
+    # score=None omits the label entirely (golden-fixture compatibility)
+    assert white_px(obs_none)[84:].sum() == 0
+
+    # glyph math: "%04i" zero-pads and truncates toward zero, '-' leads
+    chars = raster._score_chars(jnp.float32(123.9))
+    np.testing.assert_array_equal(np.asarray(chars), [0, 1, 2, 3])
+    chars = raster._score_chars(jnp.float32(-5.2))
+    np.testing.assert_array_equal(np.asarray(chars), [10, 0, 0, 5])
