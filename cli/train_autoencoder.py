@@ -40,7 +40,8 @@ def main():
 
         ae = Autoencoder()
         tmpl = jax.device_get(
-            ae.init(jax.random.key(0), jnp.zeros((1, 96, 96, 3)))["params"])
+            jax.jit(ae.init)(jax.random.key(0),
+                             jnp.zeros((1, 96, 96, 3)))["params"])
         params = checkpoints.load_checkpoint(
             checkpoints.latest_checkpoint(args.eval_run), tmpl)
         idx = np.linspace(0, len(images) - 1, args.n_eval).astype(int)

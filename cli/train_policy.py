@@ -102,7 +102,7 @@ def main():
         latest = train.checkpoints.latest_checkpoint(ck)
         if latest is not None:
             ck = latest
-        ae_tmpl = jax.device_get(Autoencoder(cfg.vision_latent).init(
+        ae_tmpl = jax.device_get(jax.jit(Autoencoder(cfg.vision_latent).init)(
             jax.random.key(0), jnp.zeros((1, 96, 96, 3)))["params"])
         enc = train.checkpoints.load_checkpoint(ck, ae_tmpl)["encoder"]
         params = policy.init_params(jax.random.key(0), encoder_params=enc)

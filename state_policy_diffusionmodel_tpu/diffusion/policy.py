@@ -94,10 +94,14 @@ class DiffusionPolicy:
         r1, r2 = jax.random.split(rng)
         x = jnp.zeros((1, cfg.horizon, cfg.prediction_dim, 1))
         cond = jnp.zeros((1, cfg.obs_horizon * cfg.observation_dim))
-        params = {"unet": self.unet.init(r1, x, jnp.zeros(1), cond)["params"]}
+        # jit the initializers: eager flax init dispatches every layer op
+        # separately (a U-Net init measured 311 s eager vs 14 s jitted on a
+        # small CPU host)
+        params = {"unet": jax.jit(self.unet.init)(
+            r1, x, jnp.zeros(1), cond)["params"]}
         if self.encoder is not None:
             if encoder_params is None:
-                encoder_params = self.encoder.init(
+                encoder_params = jax.jit(self.encoder.init)(
                     r2, jnp.zeros((1, 96, 96, 3)))["params"]
             params["encoder"] = encoder_params
         return params

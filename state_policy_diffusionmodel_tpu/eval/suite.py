@@ -24,6 +24,7 @@ All samplers run vmapped/jitted; env replays are `lax.scan` rollouts.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -99,10 +100,13 @@ class EvalContext:
         """(n_runs, horizon, 5) predictions for one window batch."""
         rngs = jax.random.split(jax.random.key(seed), n_runs)
         tiled = {k: jnp.repeat(v, n_runs, axis=0) for k, v in batch.items()}
-        out = self.policy.sample(
-            self.params, tiled, rngs[0], sampler=self.sampler,
-            num_inference_steps=self.num_inference_steps)
-        return out
+        if not hasattr(self, "_sample_jit"):
+            # one jitted sampler per context (eager per-op dispatch is ~20x
+            # slower on CPU and a tunnel round trip per op on TPU)
+            object.__setattr__(self, "_sample_jit", jax.jit(functools.partial(
+                self.policy.sample, sampler=self.sampler,
+                num_inference_steps=self.num_inference_steps)))
+        return self._sample_jit(self.params, tiled, rngs[0])
 
     def unnormalize_positions(self, pred, translation) -> np.ndarray:
         """(..., horizon, 2) world positions from normalized predictions."""

@@ -119,12 +119,15 @@ class DoubleConv(nn.Module):
     def __call__(self, x):
         mid = self.mid_channels or self.out_channels
         x_res = x
-        norm = nn.GroupNorm(num_groups=1)  # one instance, applied twice
+        # dtype=x.dtype: keep bf16 compute under amp (flax norms otherwise
+        # upcast every activation to f32, which under amp doubled the
+        # denoiser's HBM traffic and halved its MXU rate — measured)
+        norm = nn.GroupNorm(num_groups=1, dtype=x.dtype)
         x = Conv3x3(mid)(x)
         if mid == self.out_channels:
             x = norm(x)
         else:
-            x = nn.GroupNorm(num_groups=1)(x)
+            x = nn.GroupNorm(num_groups=1, dtype=x.dtype)(x)
         x = nn.gelu(x, approximate=False)
         x = Conv3x3(self.out_channels)(x)
         x = norm(x)
@@ -138,31 +141,32 @@ class _MHA(nn.Module):
     `nn.MultiHeadDotProductAttention` (same query/key/value/out DenseGeneral
     tree and init order), but with the softmax(qk^T)v core routed through
     `pallas_ops.attention_core`: on TPU the (B*heads, T, T) score tensor
-    stays in VMEM instead of round-tripping HBM in f32."""
+    stays in VMEM instead of round-tripping HBM in f32.
+
+    q/k/v stay packed as (B, T, heads*Dh) end to end — heads live on lane
+    slices inside the kernel — so no (B,T,H,Dh)->(B,H,T,Dh) layout copies
+    ever materialize (three such copies measured ~60 us/step each).
+    `dtype` is the compute dtype of the surrounding block (the pre-LN
+    tokens), keeping the whole attention bf16 under amp."""
 
     num_heads: int
     qkv_features: int
     out_features: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         B, T, C = x.shape
         Dh = self.qkv_features // self.num_heads
         dense = partial(nn.DenseGeneral, features=(self.num_heads, Dh),
-                        dtype=x.dtype)
-        q = dense(name="query")(x)                     # (B, T, H, Dh)
-        k = dense(name="key")(x)
-        v = dense(name="value")(x)
-
-        def heads_first(t):                            # (B*H, T, Dh)
-            return t.transpose(0, 2, 1, 3).reshape(
-                B * self.num_heads, T, Dh)
-
-        out = pallas_ops.attention_core(
-            heads_first(q), heads_first(k), heads_first(v))
-        out = out.reshape(B, self.num_heads, T, Dh).transpose(0, 2, 1, 3)
+                        dtype=self.dtype)
+        q = dense(name="query")(x).reshape(B, T, self.num_heads * Dh)
+        k = dense(name="key")(x).reshape(B, T, self.num_heads * Dh)
+        v = dense(name="value")(x).reshape(B, T, self.num_heads * Dh)
+        out = pallas_ops.attention_core(q, k, v, num_heads=self.num_heads)
+        out = out.reshape(B, T, self.num_heads, Dh)
         return nn.DenseGeneral(self.out_features, axis=(-2, -1),
-                               dtype=x.dtype, name="out")(out)
+                               dtype=self.dtype, name="out")(out)
 
 
 class SelfAttention(nn.Module):
@@ -171,15 +175,16 @@ class SelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
+        dt = x.dtype
         tokens = x.reshape(B, H * W, C)
-        ln = nn.LayerNorm()(tokens)
-        attn = _MHA(num_heads=4, qkv_features=C, out_features=C,
+        ln = nn.LayerNorm(dtype=dt)(tokens)
+        attn = _MHA(num_heads=4, qkv_features=C, out_features=C, dtype=dt,
                     name="MultiHeadDotProductAttention_0")(ln)
         tokens = attn + tokens
-        ff = nn.LayerNorm()(tokens)
-        ff = nn.Dense(C)(ff)
+        ff = nn.LayerNorm(dtype=dt)(tokens)
+        ff = nn.Dense(C, dtype=dt)(ff)
         ff = nn.gelu(ff, approximate=False)
-        ff = nn.Dense(C)(ff)
+        ff = nn.Dense(C, dtype=dt)(ff)
         tokens = ff + tokens
         return tokens.reshape(B, H, W, C)
 
@@ -192,7 +197,7 @@ class FiLM(nn.Module):
     @nn.compact
     def __call__(self, x, cond):
         cond = cond.reshape(cond.shape[0], -1)
-        emb = nn.Dense(self.channels * 2)(jax.nn.mish(cond))
+        emb = nn.Dense(self.channels * 2, dtype=x.dtype)(jax.nn.mish(cond))
         emb = emb.reshape(-1, 2, self.channels)
         scale = emb[:, 0][:, None, None, :]
         bias = emb[:, 1][:, None, None, :]
@@ -206,8 +211,20 @@ class TimeInject(nn.Module):
 
     @nn.compact
     def __call__(self, x, t_emb):
-        emb = nn.Dense(self.channels)(nn.silu(t_emb))
+        emb = nn.Dense(self.channels, dtype=x.dtype)(nn.silu(t_emb))
         return x + emb[:, None, None, :]
+
+
+def max_pool_2x2(x: jax.Array) -> jax.Array:
+    """2x2/stride-2 max pool as an elementwise max of four strided slices.
+
+    Exactly nn.max_pool(x, (2,2), strides=(2,2)) — but reduce-window over
+    the sublane (W) dim measured ~2.9 ms/step at (256,32,8,64) bf16 in the
+    standard layout the Pallas conv kernels pin; four strided slices fuse
+    into one cheap loop fusion."""
+    a = jnp.maximum(x[:, ::2, ::2], x[:, 1::2, ::2])
+    b = jnp.maximum(x[:, ::2, 1::2], x[:, 1::2, 1::2])
+    return jnp.maximum(a, b)
 
 
 class DownBlock(nn.Module):
@@ -218,7 +235,7 @@ class DownBlock(nn.Module):
     @nn.compact
     def __call__(self, x, t_emb, cond=None):
         in_ch = x.shape[-1]
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = max_pool_2x2(x)
         x = DoubleConv(in_ch, residual=self.residual_first)(x)
         x = DoubleConv(self.out_channels)(x)
         x = TimeInject(self.out_channels)(x, t_emb)

@@ -170,84 +170,103 @@ conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
 # multi-head attention core: softmax(q k^T / sqrt(Dh)) v
 # ---------------------------------------------------------------------------
 
-def _attn_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """(BH, T, Dh) each; f32 softmax (flax dot_product_attention math)."""
-    Dh = q.shape[-1]
-    s = jnp.einsum("gqd,gkd->gqk", q / jnp.sqrt(Dh).astype(q.dtype), k,
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    B, T, C = x.shape
+    return x.reshape(B, T, num_heads, C // num_heads)
+
+
+def _attn_xla(q: jax.Array, k: jax.Array, v: jax.Array,
+              num_heads: int) -> jax.Array:
+    """(B, T, heads*Dh) each; f32 softmax (flax dot_product_attention math)."""
+    B, T, C = q.shape
+    Dh = C // num_heads
+    qh = _split_heads(q, num_heads) / jnp.sqrt(Dh).astype(q.dtype)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, _split_heads(k, num_heads),
                    preferred_element_type=jnp.float32)
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("gqk,gkd->gqd", p.astype(v.dtype), v,
-                      preferred_element_type=jnp.float32).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype),
+                     _split_heads(v, num_heads),
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return out.reshape(B, T, C)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, G: int, Dh: int):
+def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, GB: int, H: int, Dh: int):
     scale = 1.0 / (Dh ** 0.5)
-    for g in range(G):
-        qg = (q_ref[g] * scale).astype(q_ref.dtype)
-        s = jax.lax.dot_general(                      # (T, T) f32 in VMEM
-            qg, k_ref[g], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        out_ref[g] = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[g], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    for g in range(GB):
+        for h in range(H):
+            sl = slice(h * Dh, (h + 1) * Dh)           # heads on lane slices
+            qg = (q_ref[g, :, sl] * scale).astype(q_ref.dtype)
+            s = jax.lax.dot_general(                   # (T, T) f32 in VMEM
+                qg, k_ref[g, :, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            out_ref[g, :, sl] = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[g, :, sl],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
-def _attn_pallas(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    BH, T, Dh = q.shape
-    G = 1
-    while G < BH and G * T <= 1024 and BH % (G * 2) == 0:
-        G *= 2
-    spec = pl.BlockSpec((G, T, Dh), lambda b: (b, 0, 0),
+def _attn_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
+                 num_heads: int) -> jax.Array:
+    B, T, C = q.shape
+    GB = 1
+    while GB < B and GB * T <= 2048 and B % (GB * 2) == 0:
+        GB *= 2
+    spec = pl.BlockSpec((GB, T, C), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
-    grid_spec = pl.GridSpec(grid=(BH // G,), in_specs=[spec] * 3,
+    grid_spec = pl.GridSpec(grid=(B // GB,), in_specs=[spec] * 3,
                             out_specs=spec)
     return pl.pallas_call(
-        functools.partial(_attn_kernel, G=G, Dh=Dh),
+        functools.partial(_attn_kernel, GB=GB, H=num_heads,
+                          Dh=C // num_heads),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((BH, T, Dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * BH * T * T * Dh,
-            bytes_accessed=4 * BH * T * Dh * q.dtype.itemsize,
-            transcendentals=BH * T * T),
+            flops=4 * B * num_heads * T * T * (C // num_heads),
+            bytes_accessed=4 * B * T * C * q.dtype.itemsize,
+            transcendentals=B * num_heads * T * T),
     )(q, k, v)
 
 
-def _attn_impl(q, k, v):
-    BH, T, Dh = q.shape
+def _attn_impl(q, k, v, num_heads):
+    B, T, C = q.shape
     # tiny token counts (the 4x1 bottleneck level) stay on XLA: sublane
     # padding would waste most of the tile
-    if _on_tpu() and T >= 16 and Dh >= 8:
-        return _attn_pallas(q, k, v)
-    return _attn_xla(q, k, v)
+    if _on_tpu() and T >= 16 and C // num_heads >= 8:
+        return _attn_pallas(q, k, v, num_heads)
+    return _attn_xla(q, k, v, num_heads)
 
 
-@jax.custom_vjp
-def attention_core(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """softmax(q k^T / sqrt(Dh)) v over flattened (batch*heads, T, Dh)."""
-    return _attn_impl(q, k, v)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def attention_core(q: jax.Array, k: jax.Array, v: jax.Array,
+                   num_heads: int = 1) -> jax.Array:
+    """Per-head softmax(q k^T / sqrt(Dh)) v over packed (B, T, heads*Dh)
+    tensors (head h occupies feature columns [h*Dh, (h+1)*Dh))."""
+    return _attn_impl(q, k, v, num_heads)
 
 
-def _attn_fwd(q, k, v):
-    return _attn_impl(q, k, v), (q, k, v)
+def _attn_fwd(q, k, v, num_heads):
+    return _attn_impl(q, k, v, num_heads), (q, k, v)
 
 
-def _attn_bwd(res, g):
+def _attn_bwd(num_heads, res, g):
     q, k, v = res
-    Dh = q.shape[-1]
+    B, T, C = q.shape
+    Dh = C // num_heads
+    f32 = lambda t: _split_heads(t, num_heads).astype(jnp.float32)
     scale = 1.0 / jnp.sqrt(Dh).astype(jnp.float32)
-    s = jnp.einsum("gqd,gkd->gqk", q.astype(jnp.float32) * scale,
-                   k.astype(jnp.float32))
-    p = jax.nn.softmax(s, axis=-1)                       # (BH, T, T) f32
-    gf = g.astype(jnp.float32)
-    dv = jnp.einsum("gqk,gqd->gkd", p, gf)
-    dp = jnp.einsum("gqd,gkd->gqk", gf, v.astype(jnp.float32))
+    s = jnp.einsum("bqhd,bkhd->bhqk", f32(q) * scale, f32(k))
+    p = jax.nn.softmax(s, axis=-1)                       # (B, H, T, T) f32
+    gf = f32(g)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", gf, f32(v))
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("gqk,gkd->gqd", ds, k.astype(jnp.float32)) * scale
-    dk = jnp.einsum("gqk,gqd->gkd", ds, q.astype(jnp.float32)) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, f32(k)) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, f32(q)) * scale
+    pack = lambda t, like: t.reshape(B, T, C).astype(like.dtype)
+    return pack(dq, q), pack(dk, k), pack(dv, v)
 
 
 attention_core.defvjp(_attn_fwd, _attn_bwd)

@@ -26,8 +26,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import (
-    DoubleConv, DownBlock, SelfAttention, TimeInject, UpBlock, pad_to,
-    sinusoidal_time_embedding, unpad, upsample_align_corners,
+    DoubleConv, DownBlock, SelfAttention, TimeInject, UpBlock, max_pool_2x2,
+    pad_to, sinusoidal_time_embedding, unpad, upsample_align_corners,
 )
 
 
@@ -99,7 +99,7 @@ class UNetSimple(nn.Module):
 
         def down(h, out_ch):
             in_ch = h.shape[-1]
-            h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            h = max_pool_2x2(h)
             h = DoubleConv(in_ch, residual=True)(h)
             h = DoubleConv(out_ch)(h)
             h = TimeInject(out_ch)(h, t_emb)

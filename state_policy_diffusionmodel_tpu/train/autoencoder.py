@@ -38,7 +38,7 @@ def train_autoencoder(
     """images: (N, 96, 96, 3) float in [0,1]. Returns {params, history}."""
     ae = Autoencoder()
     rng = jax.random.key(seed)
-    params = ae.init(rng, jnp.zeros((1, 96, 96, 3)))["params"]
+    params = jax.jit(ae.init)(rng, jnp.zeros((1, 96, 96, 3)))["params"]
 
     opt = optax.chain(optax.clip_by_global_norm(1.0),
                       optax.inject_hyperparams(optax.adam)(learning_rate=lr))

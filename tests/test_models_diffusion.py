@@ -1,3 +1,5 @@
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,8 +43,10 @@ def test_unet_forward_shapes(name, expect_params):
     x = jnp.zeros((2, 31, 5, 1))
     t = jnp.array([3.0, 7.0])
     cond = jnp.zeros((2, 10 * 135))
-    params = net.init(jax.random.key(0), x, t, cond)["params"]
-    out = net.apply({"params": params}, x, t, cond)
+    # jit both: eager flax init/apply dispatch per-op (the full-size U-Net
+    # init measured 311 s eager vs 14 s jitted on a small CPU host)
+    params = jax.jit(net.init)(jax.random.key(0), x, t, cond)["params"]
+    out = jax.jit(net.apply)({"params": params}, x, t, cond)
     assert out.shape == x.shape
     assert bool(jnp.all(jnp.isfinite(out)))
 
@@ -50,18 +54,19 @@ def test_unet_forward_shapes(name, expect_params):
 def test_autoencoder_shapes():
     ae = models.Autoencoder()
     x = jnp.zeros((2, 96, 96, 3))
-    params = ae.init(jax.random.key(0), x)["params"]
-    recon = ae.apply({"params": params}, x)
+    params = jax.jit(ae.init)(jax.random.key(0), x)["params"]
+    recon = jax.jit(ae.apply)({"params": params}, x)
     assert recon.shape == (2, 96, 96, 3)
-    z = ae.apply({"params": params}, x, method=ae.encode)
+    z = jax.jit(lambda p, x: ae.apply(p, x, method=ae.encode))(
+        {"params": params}, x)
     assert z.shape == (2, 128)
 
 
 def test_resnet18_output_dim():
     net = models.ResNet18GN()
     x = jnp.zeros((1, 96, 96, 3))
-    params = net.init(jax.random.key(0), x)["params"]
-    out = net.apply({"params": params}, x)
+    params = jax.jit(net.init)(jax.random.key(0), x)["params"]
+    out = jax.jit(net.apply)({"params": params}, x)
     assert out.shape == (1, 512)
 
 
@@ -145,7 +150,7 @@ def _tiny_batch(B=2, T=12):
 def test_policy_loss_finite_and_decreasing_with_truth(tiny_policy):
     pol, params = tiny_policy
     batch = _tiny_batch()
-    loss = pol.loss(params, batch, jax.random.key(1))
+    loss = pol.loss_jit(params, batch, jax.random.key(1))
     assert np.isfinite(float(loss))
     # loss near E||noise - eps_est||^2 ~ O(1) for an untrained net
     assert 0.01 < float(loss) < 100.0
@@ -154,16 +159,17 @@ def test_policy_loss_finite_and_decreasing_with_truth(tiny_policy):
 def test_policy_sample_shapes_and_inpaint(tiny_policy):
     pol, params = tiny_policy
     batch = _tiny_batch()
-    out = pol.sample(params, batch, jax.random.key(2), sampler="ddim",
-                     num_inference_steps=5)
+    sample = jax.jit(partial(pol.sample, sampler="ddim",
+                             num_inference_steps=5))
+    out = sample(params, batch, jax.random.key(2))
     assert out.shape == (2, 9, 5)
     # inpaint rows equal the last obs step's (position, action)
     expect = np.concatenate([
         np.asarray(batch["position"][:, 3:4]),
         np.asarray(batch["action"][:, 3:4])], -1)
     np.testing.assert_allclose(np.asarray(out[:, :1]), expect, atol=1e-6)
-    hist = pol.sample(params, batch, jax.random.key(2), sampler="ddim",
-                      num_inference_steps=5, history=True)
+    hist = jax.jit(partial(pol.sample, sampler="ddim", num_inference_steps=5,
+                           history=True))(params, batch, jax.random.key(2))
     assert hist.shape == (6, 2, 9, 5)
     np.testing.assert_allclose(np.asarray(hist[-1]), np.asarray(out), atol=1e-6)
 
@@ -176,10 +182,11 @@ def test_policy_with_vision_encoder():
     assert cfg.observation_dim == 135
     params = pol.init_params(jax.random.key(0))
     batch = _tiny_batch(B=1, T=6)
-    loss = pol.loss(params, batch, jax.random.key(1))
+    loss = pol.loss_jit(params, batch, jax.random.key(1))
     assert np.isfinite(float(loss))
     # frozen encoder: no grads flow to it
-    grads = jax.grad(lambda p: pol.loss(p, batch, jax.random.key(1)))(params)
+    grads = jax.jit(jax.grad(
+        lambda p: pol.loss(p, batch, jax.random.key(1))))(params)
     enc_norm = sum(float(jnp.abs(g).sum())
                    for g in jax.tree.leaves(grads["encoder"]))
     assert enc_norm == 0.0
@@ -206,10 +213,11 @@ def test_sample_amp_bf16_close_to_fp32():
         "action": jnp.asarray(rng.normal(size=(B, 4, 3)), jnp.float32) * 0.1,
     }
     r = jax.random.key(3)
-    out32 = np.asarray(pol.sample(params, batch, r, sampler="ddim",
-                                  num_inference_steps=5))
-    out16 = np.asarray(pol.sample(params, batch, r, sampler="ddim",
-                                  num_inference_steps=5, amp=True))
+    out32 = np.asarray(jax.jit(partial(
+        pol.sample, sampler="ddim", num_inference_steps=5))(params, batch, r))
+    out16 = np.asarray(jax.jit(partial(
+        pol.sample, sampler="ddim", num_inference_steps=5, amp=True))(
+            params, batch, r))
     # inpaint rows are written verbatim in both
     np.testing.assert_array_equal(out32[:, 0], out16[:, 0])
     # denoised rows agree to bf16-ish tolerance

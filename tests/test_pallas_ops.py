@@ -73,25 +73,36 @@ def test_conv3x3_custom_vjp_matches_autodiff():
                                rtol=1e-5, atol=1e-4)
 
 
-@pytest.mark.parametrize("bh,t,dh", [(8, 64, 16), (16, 16, 32), (4, 256, 16)])
-def test_attention_pallas_matches_xla(interpret, bh, t, dh):
+@pytest.mark.parametrize("b,t,c,h", [(8, 64, 64, 4), (16, 16, 128, 4),
+                                     (4, 256, 64, 4), (8, 32, 32, 1)])
+def test_attention_pallas_matches_xla(interpret, b, t, c, h):
     rng = np.random.default_rng(2)
-    q, k, v = (_rand(rng, (bh, t, dh)) for _ in range(3))
-    got = po._attn_pallas(q, k, v)
-    want = po._attn_xla(q, k, v)
+    q, k, v = (_rand(rng, (b, t, c)) for _ in range(3))
+    got = po._attn_pallas(q, k, v, h)
+    want = po._attn_xla(q, k, v, h)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
 
 
+def test_attention_heads_are_independent():
+    """Packed layout: head h only reads feature columns [h*Dh, (h+1)*Dh)."""
+    rng = np.random.default_rng(5)
+    q, k, v = (_rand(rng, (2, 16, 64)) for _ in range(3))
+    full = po._attn_xla(q, k, v, 4)
+    solo = po._attn_xla(q[..., :16], k[..., :16], v[..., :16], 1)
+    np.testing.assert_allclose(np.asarray(full[..., :16]), np.asarray(solo),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_attention_custom_vjp_matches_autodiff():
     rng = np.random.default_rng(3)
-    q, k, v = (_rand(rng, (8, 32, 16)) for _ in range(3))
+    q, k, v = (_rand(rng, (8, 32, 32)) for _ in range(3))
 
     def loss_custom(q, k, v):
-        return jnp.sum(jnp.cos(po.attention_core(q, k, v)))
+        return jnp.sum(jnp.cos(po.attention_core(q, k, v, 4)))
 
     def loss_ref(q, k, v):
-        return jnp.sum(jnp.cos(po._attn_xla(q, k, v)))
+        return jnp.sum(jnp.cos(po._attn_xla(q, k, v, 4)))
 
     g1 = jax.grad(loss_custom, (0, 1, 2))(q, k, v)
     g2 = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
