@@ -111,29 +111,48 @@ class Conv3x3(nn.Module):
 
 
 class DoubleConv(nn.Module):
+    """conv3x3 -> GroupNorm(1) -> GELU -> conv3x3 -> GroupNorm(1), with the
+    reference's shared-norm quirk: when mid == out the SAME scale/bias are
+    applied at both norm sites (Unet_FiLmLayer.py:105,111-115).
+
+    The whole block (plus the optional folded FiLM/time affine epilogue
+    `post_scale * y + post_bias` and the residual GELU) runs as one fused
+    Pallas kernel on TPU (pallas_ops.double_conv) — the intermediate
+    activation and both GroupNorm statistics stay in VMEM."""
+
     out_channels: int
     residual: bool = False
     mid_channels: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, post_scale=None, post_bias=None):
         mid = self.mid_channels or self.out_channels
-        x_res = x
-        # dtype=x.dtype: keep bf16 compute under amp (flax norms otherwise
-        # upcast every activation to f32, which under amp doubled the
-        # denoiser's HBM traffic and halved its MXU rate — measured)
-        norm = nn.GroupNorm(num_groups=1, dtype=x.dtype)
-        x = Conv3x3(mid)(x)
-        if mid == self.out_channels:
-            x = norm(x)
+        out = self.out_channels
+        cin = x.shape[-1]
+        k1 = self.param("conv1_kernel", nn.initializers.lecun_normal(),
+                        (3, 3, cin, mid))
+        k2 = self.param("conv2_kernel", nn.initializers.lecun_normal(),
+                        (3, 3, mid, out))
+        # shared norm params (the reference reuses one norm module)
+        g2 = self.param("norm_scale", nn.initializers.ones, (out,))
+        b2 = self.param("norm_bias", nn.initializers.zeros, (out,))
+        if mid == out:
+            g1, b1 = g2, b2
         else:
-            x = nn.GroupNorm(num_groups=1, dtype=x.dtype)(x)
-        x = nn.gelu(x, approximate=False)
-        x = Conv3x3(self.out_channels)(x)
-        x = norm(x)
-        if self.residual:
-            return nn.gelu(x + x_res, approximate=False)
-        return x
+            g1 = self.param("norm_mid_scale", nn.initializers.ones, (mid,))
+            b1 = self.param("norm_mid_bias", nn.initializers.zeros, (mid,))
+        dt = x.dtype
+        B = x.shape[0]
+        if post_scale is None:
+            post_scale = jnp.ones((B, out), dt)
+        if post_bias is None:
+            post_bias = jnp.zeros((B, out), dt)
+        return pallas_ops.double_conv(
+            x, k1.reshape(9 * cin, mid).astype(dt),
+            k2.reshape(9 * mid, out).astype(dt),
+            g1.astype(dt), b1.astype(dt), g2.astype(dt), b2.astype(dt),
+            post_scale.astype(dt), post_bias.astype(dt),
+            self.residual)
 
 
 class _MHA(nn.Module):
@@ -189,32 +208,6 @@ class SelfAttention(nn.Module):
         return tokens.reshape(B, H, W, C)
 
 
-class FiLM(nn.Module):
-    """Mish -> Dense(2*C) per-channel scale/bias (Unet_FiLmLayer.py:144-177)."""
-
-    channels: int
-
-    @nn.compact
-    def __call__(self, x, cond):
-        cond = cond.reshape(cond.shape[0], -1)
-        emb = nn.Dense(self.channels * 2, dtype=x.dtype)(jax.nn.mish(cond))
-        emb = emb.reshape(-1, 2, self.channels)
-        scale = emb[:, 0][:, None, None, :]
-        bias = emb[:, 1][:, None, None, :]
-        return scale * x + bias
-
-
-class TimeInject(nn.Module):
-    """SiLU -> Dense(C), added per-channel (Unet_FiLmLayer.py:136-142)."""
-
-    channels: int
-
-    @nn.compact
-    def __call__(self, x, t_emb):
-        emb = nn.Dense(self.channels, dtype=x.dtype)(nn.silu(t_emb))
-        return x + emb[:, None, None, :]
-
-
 def max_pool_2x2(x: jax.Array) -> jax.Array:
     """2x2/stride-2 max pool as an elementwise max of four strided slices.
 
@@ -227,6 +220,27 @@ def max_pool_2x2(x: jax.Array) -> jax.Array:
     return jnp.maximum(a, b)
 
 
+class _PostAffine(nn.Module):
+    """The folded per-(batch, channel) conditioning epilogue of a block:
+    TimeInject then FiLM, i.e. s*(y + tb) + b = s*y + (s*tb + b), returned
+    as (post_scale, post_bias) vectors for DoubleConv's fused epilogue."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, t_emb, cond, dtype):
+        tb = nn.Dense(self.channels, dtype=dtype,
+                      name="time_dense")(nn.silu(t_emb))       # (B, C)
+        if cond is None:
+            return jnp.ones_like(tb), tb
+        cond = cond.reshape(cond.shape[0], -1)
+        emb = nn.Dense(self.channels * 2, dtype=dtype,
+                       name="film_dense")(jax.nn.mish(cond))
+        emb = emb.reshape(-1, 2, self.channels)
+        scale, bias = emb[:, 0], emb[:, 1]
+        return scale, scale * tb + bias
+
+
 class DownBlock(nn.Module):
     out_channels: int
     use_cond: bool = True
@@ -237,11 +251,9 @@ class DownBlock(nn.Module):
         in_ch = x.shape[-1]
         x = max_pool_2x2(x)
         x = DoubleConv(in_ch, residual=self.residual_first)(x)
-        x = DoubleConv(self.out_channels)(x)
-        x = TimeInject(self.out_channels)(x, t_emb)
-        if self.use_cond and cond is not None:
-            x = FiLM(self.out_channels)(x, cond)
-        return x
+        ps, pb = _PostAffine(self.out_channels)(
+            t_emb, cond if self.use_cond else None, x.dtype)
+        return DoubleConv(self.out_channels)(x, ps, pb)
 
 
 class UpBlock(nn.Module):
@@ -255,8 +267,6 @@ class UpBlock(nn.Module):
         x = jnp.concatenate([x, skip], axis=-1)
         in_ch = x.shape[-1]
         x = DoubleConv(in_ch, residual=self.residual_first)(x)
-        x = DoubleConv(self.out_channels)(x)
-        x = TimeInject(self.out_channels)(x, t_emb)
-        if self.use_cond and cond is not None:
-            x = FiLM(self.out_channels)(x, cond)
-        return x
+        ps, pb = _PostAffine(self.out_channels)(
+            t_emb, cond if self.use_cond else None, x.dtype)
+        return DoubleConv(self.out_channels)(x, ps, pb)

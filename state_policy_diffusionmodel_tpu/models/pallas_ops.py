@@ -29,15 +29,27 @@ formulation elsewhere (CPU tests, the virtual-mesh dry run).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
+
+
+# Conv-path selector. Measured on a v5e chip (closed-loop DDIM-10 policy,
+# B=256): XLA's im2col formulation beats the Pallas conv/GN kernels end to
+# end (21.9k vs 17.3k frames/s) — the custom calls pin standard layouts and
+# surround themselves with layout-conversion glue that outweighs the VMEM
+# wins, while XLA keeps the whole U-Net in its preferred batch-minor layout.
+# The Pallas attention core wins either way (score softmax stays in VMEM)
+# and is always on. Set SPDM_PALLAS_CONV=1 to run convs through Pallas.
+_PALLAS_CONV = os.environ.get("SPDM_PALLAS_CONV", "0") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -125,7 +137,7 @@ def _conv3x3_impl(x: jax.Array, w9: jax.Array) -> jax.Array:
     B, H, W, Cin = x.shape
     # the Pallas path wants >= 8 input lanes and a batch worth tiling; the
     # U-Net's first conv (Cin=1) and CPU runs use the XLA formulation
-    if _on_tpu() and Cin >= 8 and B * H * W >= 1024:
+    if _PALLAS_CONV and _on_tpu() and Cin >= 8 and B * H * W >= 1024:
         return _conv3x3_pallas(x, w9)
     return _conv3x3_xla(x, w9)
 
@@ -167,6 +179,219 @@ conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
 
 
 # ---------------------------------------------------------------------------
+# fused DoubleConv: conv3x3 -> GroupNorm(1) -> GELU -> conv3x3 -> GroupNorm(1)
+#                   [-> per-(batch,channel) affine] [-> residual GELU]
+# ---------------------------------------------------------------------------
+# The reference block (Unet_FiLmLayer.py:105-115 + the per-block FiLM/time
+# conditioning :136-177) is the U-Net's entire conv path. Unfused, every
+# GroupNorm application is its own HBM round trip of the full activation
+# (measured ~130 us each at (256,32,8,128) bf16); here the intermediate
+# activation, its statistics, and the epilogue all stay in VMEM.
+
+_GN_EPS = 1e-6  # flax GroupNorm default
+
+
+def _gelu_exact(x):
+    return x * 0.5 * (1.0 + jax.lax.erf(x / np.sqrt(2.0).astype(np.float32)))
+
+
+def _erf_approx(x):
+    """Abramowitz & Stegun 7.1.26 rational erf (max abs error 1.5e-7):
+    Mosaic has no erf primitive; this keeps the exact-GELU semantics to
+    well below bf16 resolution inside the kernel."""
+    p = 0.3275911
+    a = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a[0] + t * (a[1] + t * (a[2] + t * (a[3] + t * a[4]))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_kernel(x):
+    return x * 0.5 * (1.0 + _erf_approx(x * np.float32(1.0 / np.sqrt(2.0))))
+
+
+def _gn_f32(h32, gamma, beta):
+    """GroupNorm(num_groups=1) on (B, HW, C) f32: stats over (HW, C) per
+    batch element (flax use_fast_variance math)."""
+    m = jnp.mean(h32, axis=(1, 2), keepdims=True)
+    v = jnp.maximum(jnp.mean(h32 * h32, axis=(1, 2), keepdims=True) - m * m,
+                    0.0)
+    return ((h32 - m) * jax.lax.rsqrt(v + _GN_EPS)
+            * gamma.astype(jnp.float32) + beta.astype(jnp.float32))
+
+
+def _double_conv_xla(x, w1, w2, g1, b1, g2, b2, ps, pb, residual: bool):
+    """Reference XLA composition (CPU path + custom-VJP backward)."""
+    B, H, W, _ = x.shape
+    dt = x.dtype
+    h = _conv3x3_xla(x, w1).astype(jnp.float32).reshape(B, H * W, -1)
+    h = _gelu_exact(_gn_f32(h, g1, b1)).astype(dt).reshape(B, H, W, -1)
+    y = _conv3x3_xla(h, w2).astype(jnp.float32).reshape(B, H * W, -1)
+    y = _gn_f32(y, g2, b2)
+    y = y * ps.astype(jnp.float32)[:, None, :] \
+        + pb.astype(jnp.float32)[:, None, :]
+    if residual:
+        y = _gelu_exact(y + x.astype(jnp.float32).reshape(B, H * W, -1))
+    return y.astype(dt).reshape(B, H, W, -1)
+
+
+def _gn_rows(acc, gamma, beta, TB):
+    """GroupNorm(1) on (TB*HW, C) f32 rows grouped per batch element.
+
+    Everything stays rank-2 with single-axis reductions and matmul segment
+    sums: Mosaic aborts on the rank-3 (TB,1,1) of a multi-axis keepdims
+    reduce, and folding sublanes into lanes ((TB*HW,C)->(TB,HW*C)) is an
+    unsupported shape cast — but segment reduction/broadcast expressed as
+    dots against a constant block-indicator matrix lowers cleanly (and
+    rides the MXU)."""
+    rows, C = acc.shape
+    HW = rows // TB
+    n = HW * C
+    gi = jax.lax.broadcasted_iota(jnp.int32, (TB, rows), 0)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (TB, rows), 1) // HW
+    G = (gi == gj).astype(jnp.float32)               # (TB, rows) segments
+    # HIGHEST: the MXU's default f32 matmul precision is bf16-grade, which
+    # would put ~4e-3 relative error on the statistics (measured on-chip)
+    dot = lambda a, b, d: jax.lax.dot_general(
+        a, b, ((d, ((), ()))), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    s = dot(G, acc, ((1,), (0,)))                    # (TB, C) segment sums
+    q = dot(G, acc * acc, ((1,), (0,)))
+    m = jnp.sum(s, axis=1, keepdims=True) / n        # (TB, 1)
+    v = jnp.maximum(jnp.sum(q, axis=1, keepdims=True) / n - m * m, 0.0)
+    rs = jax.lax.rsqrt(v + _GN_EPS)
+    coef = jnp.concatenate([rs, -m * rs], axis=1)    # (TB, 2)
+    R = dot(G, coef, ((0,), (0,)))                   # (rows, 2) per-row
+    y = acc * R[:, 0:1] + R[:, 1:2]
+    return y * gamma + beta                          # gamma/beta (1, C)
+
+
+def _gn_act_kernel(*refs, TB: int, H: int, W: int, C: int, gelu: bool,
+                   post: bool, res: bool):
+    """GroupNorm(1) [+GELU] [+per-(batch,channel) affine] [+residual GELU]
+    as one streaming VPU kernel: one read + one write of the activation
+    (the unfused XLA norm application measured ~130 us per site from
+    layout-constrained fusions around the conv custom calls)."""
+    it = iter(refs)
+    x_ref = next(it)
+    g_ref, b_ref = next(it), next(it)
+    ps_ref, pb_ref = (next(it), next(it)) if post else (None, None)
+    xres_ref = next(it) if res else None
+    out_ref = next(it)
+
+    HW = H * W
+    acc = x_ref[:].astype(jnp.float32).reshape(TB * HW, C)
+    y = _gn_rows(acc, g_ref[:], b_ref[:], TB)
+    if gelu:
+        y = _gelu_kernel(y)
+    if post:
+        ps = ps_ref[0].astype(jnp.float32)           # (TB, C)
+        pb = pb_ref[0].astype(jnp.float32)
+        y3 = y.reshape(TB, HW, C)
+        y = (y3 * ps[:, None, :] + pb[:, None, :]).reshape(TB * HW, C)
+    if res:
+        xres = xres_ref[:].astype(jnp.float32).reshape(TB * HW, C)
+        y = _gelu_kernel(y + xres)
+    out_ref[:] = y.astype(out_ref.dtype).reshape(TB, H, W, C)
+
+
+def _gn_act_tile(B: int, H: int, W: int, C: int, isz: int) -> int:
+    """Batch tile for the norm/activation kernel (~10 live f32 stages)."""
+    budget = 12 * 1024 * 1024
+    tb = 1
+    while tb < B:
+        nxt = tb * 2
+        rows = nxt * H * W
+        if rows * C * (10 * 4 + 6 * isz) > budget or B % nxt:
+            break
+        tb = nxt
+    return tb
+
+
+def _gn_act_pallas(x, g, b, ps=None, pb=None, x_res=None,
+                   gelu: bool = False):
+    B, H, W, C = x.shape
+    TB = _gn_act_tile(B, H, W, C, x.dtype.itemsize)
+    post = ps is not None
+    res = x_res is not None
+    block = pl.BlockSpec((TB, H, W, C), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [block, vec, vec]
+    args = [x, g.reshape(1, -1), b.reshape(1, -1)]
+    if post:
+        # (B/TB, TB, C): the (1, TB, C) block covers its trailing dims (a
+        # flat (TB, C) block breaks 8-sublane tiling at small TB)
+        pvec = pl.BlockSpec((1, TB, C), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        in_specs += [pvec, pvec]
+        args += [ps.reshape(B // TB, TB, C), pb.reshape(B // TB, TB, C)]
+    if res:
+        in_specs.append(block)
+        args.append(x_res)
+    grid_spec = pl.GridSpec(grid=(B // TB,), in_specs=in_specs,
+                            out_specs=block)
+    return pl.pallas_call(
+        functools.partial(_gn_act_kernel, TB=TB, H=H, W=W, C=C, gelu=gelu,
+                          post=post, res=res),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * H * W * C,
+            bytes_accessed=(2 + res) * B * H * W * C * x.dtype.itemsize,
+            transcendentals=B * H * W * C if (gelu or res) else 0),
+    )(*args)
+
+
+def _dc_tpu(x, w1, w2, g1, b1, g2, b2, ps, pb, residual: bool):
+    """TPU DoubleConv: two near-roofline conv kernels + two streaming
+    norm/activation kernels. A single fully-fused kernel was measured
+    SLOWER: Mosaic keeps ~20 live f32 stages through conv->GN->GELU->conv,
+    which forced 4-8x smaller batch tiles (and latency-bound dots) to stay
+    under the 16 MB scoped-VMEM limit; the intermediate HBM round trip the
+    split costs is ~5 us per level at 800 GB/s."""
+    h = _conv3x3_pallas(x, w1)
+    h = _gn_act_pallas(h, g1, b1, gelu=True)
+    y = _conv3x3_pallas(h, w2)
+    return _gn_act_pallas(y, g2, b2, ps=ps, pb=pb,
+                          x_res=x if residual else None)
+
+
+def _dc_impl(x, w1, w2, g1, b1, g2, b2, ps, pb, residual):
+    B, H, W, Cin = x.shape
+    Cmid = w1.shape[1]
+    if (_PALLAS_CONV and _on_tpu() and min(Cin, Cmid) >= 8
+            and B * H * W >= 1024):
+        return _dc_tpu(x, w1, w2, g1, b1, g2, b2, ps, pb, residual)
+    return _double_conv_xla(x, w1, w2, g1, b1, g2, b2, ps, pb, residual)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def double_conv(x, w1, w2, g1, b1, g2, b2, ps, pb, residual: bool = False):
+    """Fused reference DoubleConv (+ optional per-(batch,channel) affine
+    epilogue ps*y+pb, the folded FiLM/time conditioning; + optional
+    residual GELU). w1/w2 are (9*Cin, Cmid)/(9*Cmid, Cout); g/b the
+    GroupNorm scale/bias; ps/pb (B, Cout)."""
+    return _dc_impl(x, w1, w2, g1, b1, g2, b2, ps, pb, residual)
+
+
+def _dc_fwd(x, w1, w2, g1, b1, g2, b2, ps, pb, residual):
+    out = _dc_impl(x, w1, w2, g1, b1, g2, b2, ps, pb, residual)
+    return out, (x, w1, w2, g1, b1, g2, b2, ps, pb)
+
+
+def _dc_bwd(residual, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _double_conv_xla(*a, residual), *res)
+    return vjp(g)
+
+
+double_conv.defvjp(_dc_fwd, _dc_bwd)
+
+
+# ---------------------------------------------------------------------------
 # multi-head attention core: softmax(q k^T / sqrt(Dh)) v
 # ---------------------------------------------------------------------------
 
@@ -190,36 +415,54 @@ def _attn_xla(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.reshape(B, T, C)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, GB: int, H: int, Dh: int):
+def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, GB: int, T: int, H: int,
+                 Dh: int):
+    """Block-diagonal attention over GB batch elements at once.
+
+    Per-(batch, head) score matrices at the U-Net's tiny token counts
+    (T=16/64) are fractions of one 128x128 MXU tile; issuing them as
+    separate dots is latency-bound (measured 335 us/step at T=16 vs ~20 us
+    of tile-floor work). Packing GB=128//T batch elements along the token
+    axis fills exactly one tile per head — the cross-batch blocks are
+    masked out of the softmax with a -1e30 additive bias."""
+    GBT = GB * T
     scale = 1.0 / (Dh ** 0.5)
-    for g in range(GB):
-        for h in range(H):
-            sl = slice(h * Dh, (h + 1) * Dh)           # heads on lane slices
-            qg = (q_ref[g, :, sl] * scale).astype(q_ref.dtype)
-            s = jax.lax.dot_general(                   # (T, T) f32 in VMEM
-                qg, k_ref[g, :, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            out_ref[g, :, sl] = jax.lax.dot_general(
-                p.astype(v_ref.dtype), v_ref[g, :, sl],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    q2 = q_ref[:].reshape(GBT, H * Dh)                 # free: T % tile == 0
+    k2 = k_ref[:].reshape(GBT, H * Dh)
+    v2 = v_ref[:].reshape(GBT, H * Dh)
+    if GB > 1:
+        ri = jax.lax.broadcasted_iota(jnp.int32, (GBT, GBT), 0) // T
+        ci = jax.lax.broadcasted_iota(jnp.int32, (GBT, GBT), 1) // T
+        bias = jnp.where(ri == ci, 0.0, -1e30).astype(jnp.float32)
+    for h in range(H):
+        sl = slice(h * Dh, (h + 1) * Dh)               # heads on lane slices
+        qh = (q2[:, sl] * scale).astype(q_ref.dtype)
+        s = jax.lax.dot_general(                       # (GBT, GBT) f32, VMEM
+            qh, k2[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if GB > 1:
+            s = s + bias
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v2[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[:, :, sl] = o.reshape(GB, T, Dh).astype(out_ref.dtype)
 
 
 def _attn_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
                  num_heads: int) -> jax.Array:
     B, T, C = q.shape
-    GB = 1
-    while GB < B and GB * T <= 2048 and B % (GB * 2) == 0:
-        GB *= 2
+    GB = max(1, min(B, 128 // T))                      # fill one MXU tile
+    while B % GB:
+        GB //= 2
     spec = pl.BlockSpec((GB, T, C), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(grid=(B // GB,), in_specs=[spec] * 3,
                             out_specs=spec)
     return pl.pallas_call(
-        functools.partial(_attn_kernel, GB=GB, H=num_heads,
+        functools.partial(_attn_kernel, GB=GB, T=T, H=num_heads,
                           Dh=C // num_heads),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, T, C), q.dtype),

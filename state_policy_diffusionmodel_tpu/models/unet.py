@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import (
-    DoubleConv, DownBlock, SelfAttention, TimeInject, UpBlock, max_pool_2x2,
+    DoubleConv, DownBlock, SelfAttention, UpBlock, max_pool_2x2,
     pad_to, sinusoidal_time_embedding, unpad, upsample_align_corners,
 )
 
@@ -97,12 +97,15 @@ class UNetSimple(nn.Module):
 
         x, pads = pad_to(x, 2**3)
 
+        def time_bias(h, out_ch):
+            # TimeInject folded into DoubleConv's fused affine epilogue
+            return nn.Dense(out_ch, dtype=h.dtype)(nn.silu(t_emb))
+
         def down(h, out_ch):
             in_ch = h.shape[-1]
             h = max_pool_2x2(h)
             h = DoubleConv(in_ch, residual=True)(h)
-            h = DoubleConv(out_ch)(h)
-            h = TimeInject(out_ch)(h, t_emb)
+            h = DoubleConv(out_ch)(h, post_bias=time_bias(h, out_ch))
             if use_cond:
                 h = _CondConcat()(h, cond)
             return h
@@ -112,8 +115,7 @@ class UNetSimple(nn.Module):
             h = jnp.concatenate([h, skip], axis=-1)
             in_ch = h.shape[-1]
             h = DoubleConv(in_ch, residual=True)(h)
-            h = DoubleConv(out_ch)(h)
-            h = TimeInject(out_ch)(h, t_emb)
+            h = DoubleConv(out_ch)(h, post_bias=time_bias(h, out_ch))
             if use_cond:
                 h = _CondConcat()(h, cond)
             return h

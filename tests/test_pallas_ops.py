@@ -154,3 +154,84 @@ def test_mha_module_param_tree_matches_flax():
     out_ref = FlaxSA().apply({"params": ref_params}, x)
     np.testing.assert_allclose(np.asarray(out_new), np.asarray(out_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def _flax_double_conv(x, w1, w2, g1, b1, g2, b2, ps, pb, residual):
+    """Unfused reference math using flax's own GroupNorm/gelu."""
+    from flax import linen as nn
+
+    cin = x.shape[-1]
+    mid, out = w1.shape[1], w2.shape[1]
+    h = po._conv3x3_xla(x, w1)
+    gn1 = nn.GroupNorm(num_groups=1, dtype=x.dtype)
+    h = gn1.apply({"params": {"scale": g1, "bias": b1}}, h)
+    h = nn.gelu(h, approximate=False)
+    y = po._conv3x3_xla(h, w2)
+    gn2 = nn.GroupNorm(num_groups=1, dtype=x.dtype)
+    y = gn2.apply({"params": {"scale": g2, "bias": b2}}, y)
+    y = y * ps[:, None, None, :] + pb[:, None, None, :]
+    if residual:
+        y = nn.gelu(y + x, approximate=False)
+    return y
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_double_conv_xla_matches_flax_composition(residual):
+    rng = np.random.default_rng(6)
+    B, H, W, C = 3, 8, 4, 16
+    x = _rand(rng, (B, H, W, C), 0.5)
+    w1 = _rand(rng, (9 * C, C), 0.1)
+    w2 = _rand(rng, (9 * C, C), 0.1)
+    g1 = _rand(rng, (C,), 0.2) + 1.0
+    b1 = _rand(rng, (C,), 0.2)
+    ps = _rand(rng, (B, C), 0.1) + 1.0
+    pb = _rand(rng, (B, C), 0.1)
+    got = po._double_conv_xla(x, w1, w2, g1, b1, g1, b1, ps, pb, residual)
+    want = _flax_double_conv(x, w1, w2, g1, b1, g1, b1, ps, pb, residual)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("shape,cmid,cout,residual", [
+    ((4, 32, 8, 16), 16, 16, True),
+    ((8, 8, 2, 32), 32, 16, False),
+    ((16, 4, 1, 16), 32, 32, False),
+])
+def test_double_conv_pallas_matches_xla(interpret, shape, cmid, cout,
+                                        residual):
+    rng = np.random.default_rng(7)
+    B, H, W, C = shape
+    x = _rand(rng, shape, 0.5)
+    w1 = _rand(rng, (9 * C, cmid), 0.1)
+    w2 = _rand(rng, (9 * cmid, cout), 0.1)
+    g1, b1 = _rand(rng, (cmid,)) + 1.0, _rand(rng, (cmid,), 0.2)
+    g2, b2 = _rand(rng, (cout,)) + 1.0, _rand(rng, (cout,), 0.2)
+    ps = jnp.ones((B, cout))
+    pb = jnp.zeros((B, cout))
+    got = po._dc_tpu(x, w1, w2, g1, b1, g2, b2, ps, pb, residual)
+    want = po._double_conv_xla(x, w1, w2, g1, b1, g2, b2, ps, pb, residual)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_double_conv_custom_vjp_matches_autodiff():
+    rng = np.random.default_rng(8)
+    B, H, W, C = 2, 8, 4, 8
+    x = _rand(rng, (B, H, W, C), 0.5)
+    w1 = _rand(rng, (9 * C, C), 0.1)
+    w2 = _rand(rng, (9 * C, C), 0.1)
+    g1, b1 = _rand(rng, (C,)) + 1.0, _rand(rng, (C,), 0.2)
+    ps, pb = jnp.ones((B, C)), jnp.zeros((B, C))
+
+    def loss_custom(*a):
+        return jnp.sum(jnp.sin(po.double_conv(*a, True)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(po._double_conv_xla(*a, True)))
+
+    args = (x, w1, w2, g1, b1, g1, b1, ps, pb)
+    g_custom = jax.grad(loss_custom, tuple(range(9)))(*args)
+    g_ref = jax.grad(loss_ref, tuple(range(9)))(*args)
+    for a, b in zip(g_custom, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
