@@ -115,8 +115,16 @@ class ReplayBuffer:
 
     # -- persistence --------------------------------------------------------
     def save_to_path(self, path: str, chunk_length: int = -1,
-                     make_zip: bool = False) -> None:
-        save_zarr(self, path, chunk_length=chunk_length)
+                     make_zip: bool = False,
+                     compressors: "str | Dict[str, dict] | None" = None
+                     ) -> None:
+        """compressors: 'default' (blosc lz4, the reference's in-memory
+        preset), 'disk' (blosc zstd-5, reference save preset,
+        replay_buffer.py:242-264), or a per-key dict of zarr compressor
+        specs (e.g. {'img': {'id': 'blosc', 'cname': 'lz4', 'clevel': 1,
+        'shuffle': 2}})."""
+        save_zarr(self, path, chunk_length=chunk_length,
+                  compressors=compressors)
         if make_zip:
             shutil.make_archive(path, "zip", path)
 
@@ -132,25 +140,44 @@ def _ts_spec(path: str, name: str):
     }
 
 
-def save_zarr(buffer: ReplayBuffer, path: str, chunk_length: int = -1) -> None:
-    if ts is None:
-        raise RuntimeError("tensorstore not available")
-    os.makedirs(path, exist_ok=True)
-    # zarr group metadata so python-zarr tooling opens the tree
+# compressor presets mirroring the reference's (replay_buffer.py:242-264):
+# lz4+bitshuffle for the in-memory/default profile, zstd-5 for disk
+COMPRESSOR_PRESETS = {
+    "default": {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 2},
+    "disk": {"id": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 1},
+}
+
+
+def _resolve_compressor(compressors, key: str) -> dict:
+    if compressors is None:
+        return COMPRESSOR_PRESETS["disk"]
+    if isinstance(compressors, str):
+        return COMPRESSOR_PRESETS[compressors]
+    return compressors.get(key, COMPRESSOR_PRESETS["disk"])
+
+
+def _write_group_meta(path: str) -> None:
+    """zarr group metadata so python-zarr tooling opens the tree."""
     for sub in ("", "data", "meta"):
         d = os.path.join(path, sub)
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, ".zgroup"), "w") as f:
             json.dump({"zarr_format": 2}, f)
 
-    def write(name: str, arr: np.ndarray, chunks):
+
+def save_zarr(buffer: ReplayBuffer, path: str, chunk_length: int = -1,
+              compressors=None) -> None:
+    if ts is None:
+        raise RuntimeError("tensorstore not available")
+    _write_group_meta(path)
+
+    def write(name: str, arr: np.ndarray, chunks, key: str):
         spec = _ts_spec(path, name)
         spec["metadata"] = {
             "shape": list(arr.shape),
             "chunks": list(chunks),
             "dtype": np.dtype(arr.dtype).str,
-            "compressor": {"id": "blosc", "cname": "zstd", "clevel": 5,
-                           "shuffle": 1},
+            "compressor": _resolve_compressor(compressors, key),
         }
         store = ts.open(spec, create=True, delete_existing=True).result()
         store[...] = arr
@@ -158,12 +185,145 @@ def save_zarr(buffer: ReplayBuffer, path: str, chunk_length: int = -1) -> None:
     for k, v in buffer.data.items():
         t_chunk = chunk_length if chunk_length > 0 else _optimal_chunk_length(
             v.shape, v.dtype)
-        write(f"data/{k}", v, (t_chunk,) + v.shape[1:])
+        write(f"data/{k}", v, (t_chunk,) + v.shape[1:], k)
     write("meta/episode_ends", buffer.episode_ends.astype(np.int64),
-          (max(1, len(buffer.episode_ends)),))
+          (max(1, len(buffer.episode_ends)),), "episode_ends")
     for k, v in buffer.meta.items():
         v = np.asarray(v)
-        write(f"meta/{k}", v, (max(1, v.shape[0]),) + v.shape[1:])
+        write(f"meta/{k}", v, (max(1, v.shape[0]),) + v.shape[1:], k)
+
+
+class ZarrReplayBuffer(ReplayBuffer):
+    """Live zarr-backed episodic store: episodes append straight to disk.
+
+    The reference's zarr backend (`create_empty_zarr` + `add_episode`
+    resize-and-write, replay_buffer.py:103-135,443-501) for datasets larger
+    than host RAM; this one writes through tensorstore's resizable zarr
+    driver. Reads (`get_episode`/windowing) go through the same lazy
+    stores, so only touched slices load.
+    """
+
+    def __init__(self, path: str, compressors=None, chunk_length: int = -1):
+        super().__init__()
+        if ts is None:
+            raise RuntimeError("tensorstore not available")
+        self.path = path
+        self._compressors = compressors
+        self._chunk_length = chunk_length
+        self._stores: Dict[str, "ts.TensorStore"] = {}
+        _write_group_meta(path)
+        self._flush_meta()
+
+    @classmethod
+    def create_empty_zarr(cls, path: str, **kw) -> "ZarrReplayBuffer":
+        return cls(path, **kw)
+
+    # lazy views: .data[k] reads through tensorstore on demand
+    class _LazyData(dict):
+        def __init__(self, stores):
+            super().__init__()
+            self._stores = stores
+
+        def __getitem__(self, k):
+            return _TSView(self._stores[k])
+
+        def __iter__(self):
+            return iter(self._stores)
+
+        def __len__(self):
+            return len(self._stores)
+
+        def keys(self):
+            return self._stores.keys()
+
+    def _flush_meta(self) -> None:
+        spec = _ts_spec(self.path, "meta/episode_ends")
+        spec["metadata"] = {
+            "shape": [len(self.episode_ends)],
+            "chunks": [max(1, len(self.episode_ends))],
+            "dtype": "<i8",
+            "compressor": None,
+        }
+        store = ts.open(spec, create=True, delete_existing=True).result()
+        if len(self.episode_ends):
+            store[...] = self.episode_ends.astype(np.int64)
+
+    def add_episode(self, episode: Dict[str, np.ndarray]) -> None:
+        lengths = {k: len(v) for k, v in episode.items()}
+        if len(set(lengths.values())) != 1:
+            raise ValueError(f"episode keys disagree on length: {lengths}")
+        t = next(iter(lengths.values()))
+        start = self.n_steps
+        for k, v in episode.items():
+            v = np.asarray(v)
+            if k not in self._stores:
+                if self.n_episodes > 0:
+                    raise ValueError(f"new key {k!r} after first episode")
+                chunk = (self._chunk_length if self._chunk_length > 0 else
+                         _optimal_chunk_length(v.shape, v.dtype))
+                spec = _ts_spec(self.path, f"data/{k}")
+                spec["metadata"] = {
+                    "shape": [0] + list(v.shape[1:]),
+                    "chunks": [chunk] + list(v.shape[1:]),
+                    "dtype": np.dtype(v.dtype).str,
+                    "compressor": _resolve_compressor(self._compressors, k),
+                }
+                self._stores[k] = ts.open(
+                    spec, create=True, delete_existing=True).result()
+            store = self._stores[k]
+            store = store.resize(exclusive_max=[start + t]
+                                 + list(v.shape[1:])).result()
+            store[start:start + t] = v
+            self._stores[k] = store
+        self.episode_ends = np.append(self.episode_ends, start + t)
+        self.data = self._LazyData(self._stores)
+        self._flush_meta()
+
+    def drop_episode(self) -> None:
+        if self.n_episodes == 0:
+            raise IndexError("empty buffer")
+        start = 0 if self.n_episodes == 1 else int(self.episode_ends[-2])
+        for k, store in list(self._stores.items()):
+            self._stores[k] = store.resize(
+                exclusive_max=[start] + list(store.shape[1:]),
+                shrink_only=True).result()
+        self.episode_ends = self.episode_ends[:-1]
+        self._flush_meta()
+
+    def get_episode(self, i: int) -> Dict[str, np.ndarray]:
+        start = 0 if i == 0 else int(self.episode_ends[i - 1])
+        end = int(self.episode_ends[i])
+        return {k: np.asarray(s[start:end].read().result())
+                for k, s in self._stores.items()}
+
+    def get_steps_slice(self, start: int, stop: int) -> Dict[str, np.ndarray]:
+        return {k: np.asarray(s[start:stop].read().result())
+                for k, s in self._stores.items()}
+
+
+class _TSView:
+    """numpy-ish lazy view over a tensorstore array."""
+
+    def __init__(self, store):
+        self._store = store
+
+    @property
+    def shape(self):
+        return tuple(self._store.shape)
+
+    @property
+    def dtype(self):
+        return np.dtype(self._store.dtype.name)
+
+    def __len__(self):
+        return self._store.shape[0]
+
+    def __getitem__(self, idx):
+        return np.asarray(self._store[idx].read().result())
+
+    def __array__(self, dtype=None):
+        arr = np.asarray(self._store.read().result())
+        return arr.astype(dtype) if dtype is not None else arr
 
 
 def load_zarr(path: str) -> ReplayBuffer:

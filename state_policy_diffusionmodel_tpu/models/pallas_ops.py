@@ -88,8 +88,10 @@ def _conv_batch_tile(B: int, H: int, W: int, Cin: int, Cout: int,
     comfortably under Mosaic's ~16 MB scoped limit: double-buffered in/out
     blocks, the f32 accumulator, the shifted-slice temporary, and the
     weights. (A 64-batch f32 tile at the 16x4x256 level measured 16.7 MB
-    and OOM'd scoped vmem; this model keeps the worst level under ~10 MB.)"""
-    budget = 10 * 1024 * 1024
+    and OOM'd scoped vmem; a 16-batch bf16 tile at 32x8x64 measured 16.4 MB
+    against a 6.5 MB model at grid=64 — Mosaic's buffering depth grows with
+    the grid, so the model runs a ~2.5x safety margin.)"""
+    budget = 6 * 1024 * 1024
     tb = 1
     while tb < B:
         nxt = tb * 2

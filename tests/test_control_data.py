@@ -202,3 +202,52 @@ def test_device_dataset_matches_host_batches():
     # division into multiply-by-reciprocal, so allow 1 ulp
     np.testing.assert_allclose(devb["image"], host["image"], atol=1e-7)
     np.testing.assert_allclose(devb["position"], host["position"], atol=1e-6)
+
+
+def test_zarr_live_backend_and_compressors(tmp_path):
+    """Live zarr-backed buffer (reference create_empty_zarr + resize-append,
+    replay_buffer.py:103-135,443-501) and per-key compressor knobs
+    (:242-264)."""
+    import json
+
+    from state_policy_diffusionmodel_tpu.data.replay_buffer import (
+        ReplayBuffer, ZarrReplayBuffer, load_zarr)
+
+    rng = np.random.default_rng(0)
+    ep1 = {"position": rng.normal(size=(20, 2)).astype(np.float32),
+           "action": rng.normal(size=(20, 3)).astype(np.float32)}
+    ep2 = {"position": rng.normal(size=(15, 2)).astype(np.float32),
+           "action": rng.normal(size=(15, 3)).astype(np.float32)}
+
+    p = str(tmp_path / "live.zarr")
+    buf = ZarrReplayBuffer.create_empty_zarr(p, compressors="default")
+    buf.add_episode(ep1)
+    buf.add_episode(ep2)
+    assert buf.n_episodes == 2 and buf.n_steps == 35
+    np.testing.assert_array_equal(buf.get_episode(1)["action"], ep2["action"])
+    sl = buf.get_steps_slice(18, 22)
+    np.testing.assert_array_equal(
+        sl["position"],
+        np.concatenate([ep1["position"][18:], ep2["position"][:2]]))
+    # lazy data views slice without loading everything
+    v = buf.data["position"]
+    assert v.shape == (35, 2)
+    np.testing.assert_array_equal(v[20:], ep2["position"])
+    # the on-disk layout is plain zarr: the standard loader reopens it
+    buf2 = load_zarr(p)
+    assert buf2.n_episodes == 2
+    np.testing.assert_array_equal(buf2.get_episode(0)["position"],
+                                  ep1["position"])
+    buf.drop_episode()
+    assert buf.n_episodes == 1 and buf.n_steps == 20
+
+    # per-key compressor spec lands in the zarr metadata
+    host = ReplayBuffer.create_empty_numpy()
+    host.add_episode(ep1)
+    p2 = str(tmp_path / "x.zarr")
+    host.save_to_path(p2, compressors={
+        "position": {"id": "blosc", "cname": "lz4", "clevel": 1,
+                     "shuffle": 2}})
+    with open(tmp_path / "x.zarr" / "data" / "position" / ".zarray") as f:
+        comp = json.load(f)["compressor"]
+    assert comp["cname"] == "lz4" and comp["clevel"] == 1
