@@ -1,0 +1,111 @@
+"""Diffusion-policy tests (loss, samplers, amp) — split from
+test_models_diffusion.py so pytest-xdist's per-file distribution balances
+the two compile-heavy modules across workers."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from state_policy_diffusionmodel_tpu import diffusion
+
+
+# -- policy ------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_policy():
+    cfg = diffusion.PolicyConfig(
+        noise_steps=50, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
+        model="UNet", vision_encoder="none", step_size=1)
+    pol = diffusion.DiffusionPolicy(cfg)
+    params = pol.init_params(jax.random.key(0))
+    return pol, params
+
+
+def _tiny_batch(B=2, T=12):
+    rng = np.random.default_rng(0)
+    return {
+        "position": jnp.asarray(rng.normal(size=(B, T, 2)).astype(np.float32)),
+        "velocity": jnp.asarray(rng.normal(size=(B, T, 2)).astype(np.float32)),
+        "action": jnp.asarray(rng.normal(size=(B, T, 3)).astype(np.float32)),
+        "image": jnp.zeros((B, T, 96, 96, 3), jnp.float32),
+    }
+
+
+def test_policy_loss_finite_and_decreasing_with_truth(tiny_policy):
+    pol, params = tiny_policy
+    batch = _tiny_batch()
+    loss = pol.loss_jit(params, batch, jax.random.key(1))
+    assert np.isfinite(float(loss))
+    # loss near E||noise - eps_est||^2 ~ O(1) for an untrained net
+    assert 0.01 < float(loss) < 100.0
+
+
+def test_policy_sample_shapes_and_inpaint(tiny_policy):
+    pol, params = tiny_policy
+    batch = _tiny_batch()
+    sample = jax.jit(partial(pol.sample, sampler="ddim",
+                             num_inference_steps=5))
+    out = sample(params, batch, jax.random.key(2))
+    assert out.shape == (2, 9, 5)
+    # inpaint rows equal the last obs step's (position, action)
+    expect = np.concatenate([
+        np.asarray(batch["position"][:, 3:4]),
+        np.asarray(batch["action"][:, 3:4])], -1)
+    np.testing.assert_allclose(np.asarray(out[:, :1]), expect, atol=1e-6)
+    hist = jax.jit(partial(pol.sample, sampler="ddim", num_inference_steps=5,
+                           history=True))(params, batch, jax.random.key(2))
+    assert hist.shape == (6, 2, 9, 5)
+    np.testing.assert_allclose(np.asarray(hist[-1]), np.asarray(out), atol=1e-6)
+
+
+def test_policy_with_vision_encoder():
+    cfg = diffusion.PolicyConfig(
+        noise_steps=10, obs_horizon=2, pred_horizon=4, inpaint_horizon=1,
+        model="UNet", vision_encoder="autoencoder")
+    pol = diffusion.DiffusionPolicy(cfg)
+    assert cfg.observation_dim == 135
+    params = pol.init_params(jax.random.key(0))
+    batch = _tiny_batch(B=1, T=6)
+    loss = pol.loss_jit(params, batch, jax.random.key(1))
+    assert np.isfinite(float(loss))
+    # frozen encoder: no grads flow to it
+    grads = jax.jit(jax.grad(
+        lambda p: pol.loss(p, batch, jax.random.key(1))))(params)
+    enc_norm = sum(float(jnp.abs(g).sum())
+                   for g in jax.tree.leaves(grads["encoder"]))
+    assert enc_norm == 0.0
+
+
+def test_sample_amp_bf16_close_to_fp32():
+    """bf16 inference (amp=True) must track the fp32 sampler closely and
+    keep the inpainted rows exactly (they bypass the network)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from state_policy_diffusionmodel_tpu import diffusion
+
+    cfg = diffusion.PolicyConfig(
+        noise_steps=20, obs_horizon=4, pred_horizon=6, inpaint_horizon=1,
+        model="UNet", vision_encoder="none", step_size=1)
+    pol = diffusion.DiffusionPolicy(cfg)
+    params = pol.init_params(jax.random.key(0))
+    B = 2
+    rng = np.random.default_rng(0)
+    batch = {
+        "position": jnp.asarray(rng.normal(size=(B, 4, 2)), jnp.float32) * 0.1,
+        "velocity": jnp.asarray(rng.normal(size=(B, 4, 2)), jnp.float32) * 0.1,
+        "action": jnp.asarray(rng.normal(size=(B, 4, 3)), jnp.float32) * 0.1,
+    }
+    r = jax.random.key(3)
+    out32 = np.asarray(jax.jit(partial(
+        pol.sample, sampler="ddim", num_inference_steps=5))(params, batch, r))
+    out16 = np.asarray(jax.jit(partial(
+        pol.sample, sampler="ddim", num_inference_steps=5, amp=True))(
+            params, batch, r))
+    # inpaint rows are written verbatim in both
+    np.testing.assert_array_equal(out32[:, 0], out16[:, 0])
+    # denoised rows agree to bf16-ish tolerance
+    assert np.abs(out32 - out16).max() < 0.05
