@@ -135,24 +135,30 @@ def _conv3x3_pallas(x: jax.Array, w9: jax.Array) -> jax.Array:
     )(xp, w9)
 
 
-def _conv3x3_impl(x: jax.Array, w9: jax.Array) -> jax.Array:
+@jax.custom_vjp
+def _conv3x3_p(x: jax.Array, w9: jax.Array) -> jax.Array:
+    """Pallas conv with a hand-written backward (the kernel itself is not
+    differentiable)."""
+    return _conv3x3_pallas(x, w9)
+
+
+def conv3x3(x: jax.Array, w9: jax.Array) -> jax.Array:
+    """3x3 same-padding conv, NHWC; w9 is the kernel reshaped (9*Cin, Cout)
+    row-major in (di, dj, cin).
+
+    The XLA path stays a plain composition so training autodiffs it
+    natively — wrapping it in custom_vjp forced a full forward recompute
+    inside every backward (measured ~4x slower train steps)."""
     B, H, W, Cin = x.shape
     # the Pallas path wants >= 8 input lanes and a batch worth tiling; the
     # U-Net's first conv (Cin=1) and CPU runs use the XLA formulation
     if _PALLAS_CONV and _on_tpu() and Cin >= 8 and B * H * W >= 1024:
-        return _conv3x3_pallas(x, w9)
+        return _conv3x3_p(x, w9)
     return _conv3x3_xla(x, w9)
 
 
-@jax.custom_vjp
-def conv3x3(x: jax.Array, w9: jax.Array) -> jax.Array:
-    """3x3 same-padding conv, NHWC; w9 is the kernel reshaped (9*Cin, Cout)
-    row-major in (di, dj, cin)."""
-    return _conv3x3_impl(x, w9)
-
-
 def _conv3x3_fwd(x, w9):
-    return _conv3x3_impl(x, w9), (x, w9)
+    return _conv3x3_pallas(x, w9), (x, w9)
 
 
 def _conv3x3_bwd(res, g):
@@ -162,7 +168,7 @@ def _conv3x3_bwd(res, g):
     # dx: 'same' conv of g with the spatially-flipped, transposed kernel
     w = w9.reshape(3, 3, Cin, Cout)
     w_flip = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).reshape(9 * Cout, Cin)
-    dx = _conv3x3_impl(g, w_flip).astype(x.dtype)
+    dx = conv3x3(g, w_flip).astype(x.dtype)
     # dw[di,dj,ci,co] = sum_{b,h,w} xpad[b,h+di,w+dj,ci] * g[b,h,w,co]
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     g2 = g.reshape(-1, Cout)
@@ -177,7 +183,7 @@ def _conv3x3_bwd(res, g):
     return dx, dw9
 
 
-conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
+_conv3x3_p.defvjp(_conv3x3_fwd, _conv3x3_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -361,36 +367,41 @@ def _dc_tpu(x, w1, w2, g1, b1, g2, b2, ps, pb, residual: bool):
                           x_res=x if residual else None)
 
 
-def _dc_impl(x, w1, w2, g1, b1, g2, b2, ps, pb, residual):
-    B, H, W, Cin = x.shape
-    Cmid = w1.shape[1]
-    if (_PALLAS_CONV and _on_tpu() and min(Cin, Cmid) >= 8
-            and B * H * W >= 1024):
-        return _dc_tpu(x, w1, w2, g1, b1, g2, b2, ps, pb, residual)
-    return _double_conv_xla(x, w1, w2, g1, b1, g2, b2, ps, pb, residual)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
-def double_conv(x, w1, w2, g1, b1, g2, b2, ps, pb, residual: bool = False):
-    """Fused reference DoubleConv (+ optional per-(batch,channel) affine
-    epilogue ps*y+pb, the folded FiLM/time conditioning; + optional
-    residual GELU). w1/w2 are (9*Cin, Cmid)/(9*Cmid, Cout); g/b the
-    GroupNorm scale/bias; ps/pb (B, Cout)."""
-    return _dc_impl(x, w1, w2, g1, b1, g2, b2, ps, pb, residual)
+def _dc_p(x, w1, w2, g1, b1, g2, b2, ps, pb, residual: bool = False):
+    return _dc_tpu(x, w1, w2, g1, b1, g2, b2, ps, pb, residual)
 
 
 def _dc_fwd(x, w1, w2, g1, b1, g2, b2, ps, pb, residual):
-    out = _dc_impl(x, w1, w2, g1, b1, g2, b2, ps, pb, residual)
+    out = _dc_tpu(x, w1, w2, g1, b1, g2, b2, ps, pb, residual)
     return out, (x, w1, w2, g1, b1, g2, b2, ps, pb)
 
 
 def _dc_bwd(residual, res, g):
+    # backward = autodiff of the XLA composition (recomputes the forward;
+    # only the Pallas path pays this)
     _, vjp = jax.vjp(
         lambda *a: _double_conv_xla(*a, residual), *res)
     return vjp(g)
 
 
-double_conv.defvjp(_dc_fwd, _dc_bwd)
+_dc_p.defvjp(_dc_fwd, _dc_bwd)
+
+
+def double_conv(x, w1, w2, g1, b1, g2, b2, ps, pb, residual: bool = False):
+    """Fused reference DoubleConv (+ optional per-(batch,channel) affine
+    epilogue ps*y+pb, the folded FiLM/time conditioning; + optional
+    residual GELU). w1/w2 are (9*Cin, Cmid)/(9*Cmid, Cout); g/b the
+    GroupNorm scale/bias; ps/pb (B, Cout).
+
+    XLA path = plain composition (native autodiff, no recompute); the
+    Pallas kernel path carries a custom VJP."""
+    B, H, W, Cin = x.shape
+    Cmid = w1.shape[1]
+    if (_PALLAS_CONV and _on_tpu() and min(Cin, Cmid) >= 8
+            and B * H * W >= 1024):
+        return _dc_p(x, w1, w2, g1, b1, g2, b2, ps, pb, residual)
+    return _double_conv_xla(x, w1, w2, g1, b1, g2, b2, ps, pb, residual)
 
 
 # ---------------------------------------------------------------------------

@@ -60,12 +60,20 @@ def test_conv3x3_custom_vjp_matches_autodiff():
     w = _rand(rng, (9 * 16, 24), 0.1)
 
     def loss_custom(x, w):
-        return jnp.sum(jnp.sin(po.conv3x3(x, w)))
+        # the custom-VJP wrapper around the Pallas kernel (interpret mode)
+        return jnp.sum(jnp.sin(po._conv3x3_p(x, w)))
 
     def loss_ref(x, w):
         return jnp.sum(jnp.sin(po._conv3x3_xla(x, w)))
 
-    g1 = jax.grad(loss_custom, (0, 1))(x, w)
+    import functools as ft
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    pl.pallas_call = ft.partial(orig, interpret=True)
+    try:
+        g1 = jax.grad(loss_custom, (0, 1))(x, w)
+    finally:
+        pl.pallas_call = orig
     g2 = jax.grad(loss_ref, (0, 1))(x, w)
     np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
                                rtol=1e-5, atol=1e-5)
@@ -224,13 +232,20 @@ def test_double_conv_custom_vjp_matches_autodiff():
     ps, pb = jnp.ones((B, C)), jnp.zeros((B, C))
 
     def loss_custom(*a):
-        return jnp.sum(jnp.sin(po.double_conv(*a, True)))
+        return jnp.sum(jnp.sin(po._dc_p(*a, True)))
 
     def loss_ref(*a):
         return jnp.sum(jnp.sin(po._double_conv_xla(*a, True)))
 
     args = (x, w1, w2, g1, b1, g1, b1, ps, pb)
-    g_custom = jax.grad(loss_custom, tuple(range(9)))(*args)
+    import functools as ft
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    pl.pallas_call = ft.partial(orig, interpret=True)
+    try:
+        g_custom = jax.grad(loss_custom, tuple(range(9)))(*args)
+    finally:
+        pl.pallas_call = orig
     g_ref = jax.grad(loss_ref, tuple(range(9)))(*args)
     for a, b in zip(g_custom, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
