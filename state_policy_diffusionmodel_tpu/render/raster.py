@@ -380,38 +380,64 @@ def _score_chars(score: jax.Array) -> jax.Array:
     return jnp.where(val < 0, jnp.concatenate([jnp.full((1,), 10), d[1:]]), d)
 
 
+def _score_coverage_table() -> np.ndarray:
+    """(4 slots, 11 glyphs, band_rows, 128) uint8 subsample-hit counts.
+
+    The label geometry is static (fixed window position/size), so the 4x4
+    subsample coverage of every (slot, glyph, pixel) is a compile-time
+    constant; at render time only the 4 digit values select rows of this
+    table. Same math as the previous in-graph evaluation, in f32."""
+    i0, i1 = SCORE_ROWS
+    p = np.arange(i0 * 128, i1 * 128)
+    r = (p // camera.STATE_W).astype(np.float32)
+    c = (p % camera.STATE_W).astype(np.float32)
+    wx = (c + 0.5) * np.float32(camera.WINDOW_W / camera.STATE_W)
+    wy = (camera.STATE_H - 1 - r + 0.5) * np.float32(
+        camera.WINDOW_H / camera.STATE_H)
+    offs = ((np.arange(4, dtype=np.float32) + 0.5) / 4.0 - 0.5)
+    sx = wx[None] + (np.repeat(offs, 4)[:, None]
+                     * np.float32(camera.WINDOW_W / camera.STATE_W))
+    sy = wy[None] + (np.tile(offs, 4)[:, None]
+                     * np.float32(camera.WINDOW_H / camera.STATE_H))
+    gx = sx - np.float32(_SCORE_X0)
+    slot = np.floor(gx / np.float32(_SCORE_ADV)).astype(np.int32)
+    u = gx - slot.astype(np.float32) * np.float32(_SCORE_ADV)
+    v = sy - np.float32(_SCORE_Y0)
+    table = np.zeros((4, 11, len(p)), np.uint8)
+    for s in range(4):
+        for ch in range(11):
+            bits = int(_SEG_BITS[ch])
+            inside = np.zeros_like(sx, bool)
+            for j, (u0, u1, v0, v1) in enumerate(_SEG_RECTS):
+                if (bits >> j) & 1:
+                    inside |= ((u >= u0) & (u <= u1) & (v >= v0) & (v <= v1))
+            inside &= slot == s
+            table[s, ch] = inside.sum(0)
+    return table.reshape(4, 11, i1 - i0, 128)
+
+
+_SCORE_COVER = _score_coverage_table()
+
+
 def _score_layer(wx, wy, score: jax.Array) -> jax.Array:
     """Score digits as a layer plane over the given window-coord planes.
 
     Binary approximation of the GL alpha-blended label: 4x4 subsample
     coverage per pixel, lit where coverage >= 0.25 (strokes are ~0.4-0.5 of
     a 96x96 pixel wide, so antialiased gray in GL becomes solid white here).
+    Runtime work is four 11-way selects into the precomputed coverage
+    table (the in-graph glyph evaluation cost ~3% of env+render throughput).
     """
+    del wx, wy  # geometry baked into _SCORE_COVER
     chars = _score_chars(score)                              # (4,) int32
-    segbits = jnp.asarray(_SEG_BITS)[chars]                  # (4,)
-    dxw = camera.WINDOW_W / camera.STATE_W
-    dyw = camera.WINDOW_H / camera.STATE_H
-    offs = (jnp.arange(4, dtype=F32) + 0.5) / 4.0 - 0.5      # subsample grid
-    # (16, R, 128) subsample window coords
-    sx = wx[None] + (jnp.repeat(offs, 4) * dxw)[:, None, None]
-    sy = wy[None] + (jnp.tile(offs, 4) * dyw)[:, None, None]
-
-    gx = sx - _SCORE_X0
-    slot = jnp.floor(gx / _SCORE_ADV).astype(jnp.int32)
-    in_slots = (slot >= 0) & (slot < 4)
-    slot_c = jnp.clip(slot, 0, 3)
-    u = gx - slot_c.astype(F32) * _SCORE_ADV
-    v = sy - _SCORE_Y0
-
-    bits = jnp.zeros(slot.shape, jnp.int32)
-    for k in range(4):
-        bits = jnp.where(slot_c == k, segbits[k], bits)
-    inside = jnp.zeros(slot.shape, bool)
-    for j, (u0, u1, v0, v1) in enumerate(_SEG_RECTS):
-        hit = (u >= u0) & (u <= u1) & (v >= v0) & (v <= v1)
-        inside = inside | (hit & ((bits >> j) & 1).astype(bool))
-    coverage = jnp.mean((inside & in_slots).astype(F32), axis=0)
-    return jnp.where(coverage >= 0.25, jnp.int32(L_SCORE), 0)
+    table = jnp.asarray(_SCORE_COVER, jnp.int32)             # (4,11,R,128)
+    total = jnp.zeros(table.shape[2:], jnp.int32)
+    for s in range(4):
+        cnt = jnp.zeros_like(total)
+        for ch in range(11):
+            cnt = jnp.where(chars[s] == ch, table[s, ch], cnt)
+        total = total + cnt
+    return jnp.where(total >= 4, jnp.int32(L_SCORE), 0)      # 4/16 = 0.25
 
 
 def _hud_layer(wx, wy, car: CarState, hull_vel):
