@@ -42,14 +42,18 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-# Conv-path selector. Measured on a v5e chip (closed-loop DDIM-10 policy,
-# B=256): XLA's im2col formulation beats the Pallas conv/GN kernels end to
-# end (21.9k vs 17.3k frames/s) — the custom calls pin standard layouts and
-# surround themselves with layout-conversion glue that outweighs the VMEM
-# wins, while XLA keeps the whole U-Net in its preferred batch-minor layout.
-# The Pallas attention core wins either way (score softmax stays in VMEM)
-# and is always on. Set SPDM_PALLAS_CONV=1 to run convs through Pallas.
-_PALLAS_CONV = os.environ.get("SPDM_PALLAS_CONV", "0") == "1"
+# Conv-path selector (SPDM_CONV_PATH=xla9|xla|pallas; SPDM_PALLAS_CONV=1 is
+# an alias for pallas). Measured on a v5e chip (closed-loop DDIM-10 policy):
+# at 256 envs xla9 (nine accumulated shifted dots, no im2col patches tensor)
+# runs 32.1k frames/s vs im2col's 24.3k and the Pallas conv kernels' 17.5k
+# (custom calls pin standard layouts and surround themselves with
+# layout-conversion glue; Mosaic's scoped-VMEM limit forces small batch
+# tiles). At 1024 envs xla9 and im2col tie (~20.7k). The Pallas attention
+# core wins at every size (score softmax stays in VMEM) and is always on.
+_CONV_PATH = os.environ.get("SPDM_CONV_PATH", "xla9")
+if os.environ.get("SPDM_PALLAS_CONV", "0") == "1":
+    _CONV_PATH = "pallas"
+_PALLAS_CONV = _CONV_PATH == "pallas"
 
 
 # ---------------------------------------------------------------------------
@@ -66,6 +70,23 @@ def _conv3x3_xla(x: jax.Array, w9: jax.Array) -> jax.Array:
     return jax.lax.dot_general(
         patches, w9, (((3,), (0,)), ((), ())),
         preferred_element_type=x.dtype)
+
+
+def _conv3x3_xla9(x: jax.Array, w9: jax.Array) -> jax.Array:
+    """Nine accumulated shifted dots (no im2col patches tensor): trades the
+    patch-assembly DUS writes + big-concat reads for 9 reads of x."""
+    B, H, W, Cin = x.shape
+    Cout = w9.shape[1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((B, H, W, Cout), jnp.float32)
+    for i in range(3):
+        for j in range(3):
+            acc = acc + jax.lax.dot_general(
+                xp[:, i:i + H, j:j + W, :],
+                w9[(i * 3 + j) * Cin:(i * 3 + j + 1) * Cin, :],
+                (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    return acc.astype(x.dtype)
 
 
 def _conv_kernel(xp_ref, w_ref, out_ref, *, TB: int, H: int, W: int,
@@ -154,6 +175,8 @@ def conv3x3(x: jax.Array, w9: jax.Array) -> jax.Array:
     # U-Net's first conv (Cin=1) and CPU runs use the XLA formulation
     if _PALLAS_CONV and _on_tpu() and Cin >= 8 and B * H * W >= 1024:
         return _conv3x3_p(x, w9)
+    if _CONV_PATH == "xla9":
+        return _conv3x3_xla9(x, w9)
     return _conv3x3_xla(x, w9)
 
 
@@ -234,9 +257,10 @@ def _double_conv_xla(x, w1, w2, g1, b1, g2, b2, ps, pb, residual: bool):
     """Reference XLA composition (CPU path + custom-VJP backward)."""
     B, H, W, _ = x.shape
     dt = x.dtype
-    h = _conv3x3_xla(x, w1).astype(jnp.float32).reshape(B, H * W, -1)
+    conv = _conv3x3_xla9 if _CONV_PATH == "xla9" else _conv3x3_xla
+    h = conv(x, w1).astype(jnp.float32).reshape(B, H * W, -1)
     h = _gelu_exact(_gn_f32(h, g1, b1)).astype(dt).reshape(B, H, W, -1)
-    y = _conv3x3_xla(h, w2).astype(jnp.float32).reshape(B, H * W, -1)
+    y = conv(h, w2).astype(jnp.float32).reshape(B, H * W, -1)
     y = _gn_f32(y, g2, b2)
     y = y * ps.astype(jnp.float32)[:, None, :] \
         + pb.astype(jnp.float32)[:, None, :]
