@@ -7,7 +7,7 @@ all episodes of a mode run as one vmapped rollout.
 Examples:
   python -m cli.generate_data --modes left right --num_episodes_per_mode 2
   python -m cli.generate_data --driver sinusoidal --amplitude 5
-  python -m cli.generate_data --driver pid_center --steps 1000
+  python -m cli.generate_data --driver center_follow --steps 1000
 """
 
 from __future__ import annotations

@@ -140,11 +140,12 @@ def _ts_spec(path: str, name: str):
     }
 
 
-# compressor presets mirroring the reference's (replay_buffer.py:242-264):
-# lz4+bitshuffle for the in-memory/default profile, zstd-5 for disk
+# compressor presets mirroring the reference's (replay_buffer.py:289-295):
+# 'default' = Blosc lz4 NOSHUFFLE (shuffle=0), 'disk' = Blosc zstd-5
+# BITSHUFFLE (shuffle=2)
 COMPRESSOR_PRESETS = {
-    "default": {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 2},
-    "disk": {"id": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 1},
+    "default": {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 0},
+    "disk": {"id": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 2},
 }
 
 
@@ -212,13 +213,32 @@ class ZarrReplayBuffer(ReplayBuffer):
         self._chunk_length = chunk_length
         self._stores: Dict[str, "ts.TensorStore"] = {}
         _write_group_meta(path)
-        self._flush_meta()
+        # Reopen an existing store rather than destroying it (the reference
+        # create_from_group semantics, replay_buffer.py:136-160: existing
+        # arrays are preserved; only missing ones are created).
+        ends_dir = os.path.join(path, "meta", "episode_ends")
+        if os.path.exists(os.path.join(ends_dir, ".zarray")):
+            store = ts.open(_ts_spec(path, "meta/episode_ends")).result()
+            self.episode_ends = np.asarray(
+                store.read().result()).astype(np.int64)
+            data_dir = os.path.join(path, "data")
+            for k in sorted(os.listdir(data_dir)):
+                if k.startswith("."):
+                    continue
+                self._stores[k] = ts.open(_ts_spec(path, f"data/{k}")).result()
+            if self._stores:
+                self.data = self._LazyData(self._stores)
+        else:
+            self._flush_meta()
 
     @classmethod
     def create_empty_zarr(cls, path: str, **kw) -> "ZarrReplayBuffer":
         return cls(path, **kw)
 
-    # lazy views: .data[k] reads through tensorstore on demand
+    # lazy views: .data[k] reads through tensorstore on demand. Full
+    # Mapping protocol (items/values/get/in all route through __getitem__)
+    # so inherited save_to_path/save_zarr iterate real arrays, not the
+    # empty underlying dict.
     class _LazyData(dict):
         def __init__(self, stores):
             super().__init__()
@@ -233,8 +253,20 @@ class ZarrReplayBuffer(ReplayBuffer):
         def __len__(self):
             return len(self._stores)
 
+        def __contains__(self, k):
+            return k in self._stores
+
         def keys(self):
             return self._stores.keys()
+
+        def items(self):
+            return [(k, self[k]) for k in self._stores]
+
+        def values(self):
+            return [self[k] for k in self._stores]
+
+        def get(self, k, default=None):
+            return self[k] if k in self._stores else default
 
     def _flush_meta(self) -> None:
         spec = _ts_spec(self.path, "meta/episode_ends")

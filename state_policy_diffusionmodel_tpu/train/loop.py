@@ -4,8 +4,10 @@ Replaces PyTorch Lightning (`/root/reference/train.py:104-128`) with a thin
 explicit loop: one jitted, data-parallel train step (batch sharded over the
 mesh's `data` axis, params replicated, gradients psum'd by XLA), Adam with
 0.5 global-norm clipping (Lightning `gradient_clip_val=0.5`), host-side
-ReduceLROnPlateau + lr early-stopping, quarter-epoch validation
-(`val_check_interval=0.25`), per-epoch checkpoints and a STATS.pkl sidecar.
+ReduceLROnPlateau + lr early-stopping (both stepped once per EPOCH on the
+epoch's last val_loss — Lightning's scheduler-dict `interval: "epoch"`),
+quarter-epoch validation (`val_check_interval=0.25`), per-epoch checkpoints
+and a STATS.pkl sidecar.
 
 bf16 mixed precision (the reference's optional "16-mixed") is the
 `amp=True` path: activations/compute in bf16, params and Adam state fp32.
@@ -338,6 +340,7 @@ class Trainer:
         plateau = ReduceLROnPlateau(lr=cfg.lr)
         lr = cfg.lr
         start_epoch = 0
+        resume_wait = 0
         if resume:
             latest = ckpt_lib.latest_checkpoint(self.out_dir)
             state = ckpt_lib.load_train_state(self.out_dir,
@@ -350,7 +353,9 @@ class Trainer:
                 start_epoch = int(meta["epoch"]) + 1
                 lr = float(meta["lr"])
                 plateau = ReduceLROnPlateau(
-                    lr=lr, best=float(meta.get("best_val", np.inf)))
+                    lr=lr, best=float(meta.get("best_val", np.inf)),
+                    num_bad=int(meta.get("num_bad", 0)))
+                resume_wait = int(meta.get("es_wait", 0))
                 self._log({"event": "resume", "epoch": start_epoch, "lr": lr})
         host_rng = np.random.default_rng(cfg.seed + start_epoch)
 
@@ -367,18 +372,40 @@ class Trainer:
         val_every = max(1, int(n_train_batches * cfg.val_interval))
         history = {"train_loss": [], "val_loss": []}
         stop = False
-        # Lightning EarlyStopping patience on the lr monitor (train.py:95)
+        # Lightning EarlyStopping patience on the lr monitor (train.py:95);
+        # checked per epoch (with the per-epoch scheduler step), so the
+        # patience is epochs without an lr decrease
         es_patience = max(1, cfg.epochs // 10)
-        best_lr, wait = float("inf"), 0
+        best_lr, wait = float("inf"), resume_wait
+
+        last_val = float("nan")
 
         def after_val(step_idx, val_loss):
-            nonlocal lr, best_lr, wait, stop
-            lr = plateau.update(val_loss)
+            """Quarter-epoch validation: log + sample figures ONLY.
+
+            The ReduceLROnPlateau scheduler and the lr early-stop monitor
+            step once per EPOCH (`after_epoch`), matching Lightning's
+            scheduler-dict default `interval: "epoch", frequency: 1`
+            (reference models/diffusion_ddpm.py:115-125): validation runs
+            4×/epoch (val_check_interval=0.25, train.py:107) but the
+            plateau sees only the epoch's last val_loss, so its
+            patience=5 means five *epochs*, not five val checks."""
+            nonlocal last_val
+            last_val = val_loss
             history["val_loss"].append(val_loss)
             self._log({"event": "val", "step": step_idx,
                        "val_loss": val_loss, "lr": lr})
             if sample_hook is not None:
                 sample_hook(params, step_idx)
+
+        def after_epoch(epoch):
+            """Per-epoch plateau + early-stop step (Lightning cadence)."""
+            nonlocal lr, best_lr, wait, stop
+            if np.isnan(last_val):
+                return
+            lr = plateau.update(last_val)
+            self._log({"event": "lr_epoch", "epoch": epoch, "lr": lr,
+                       "val_loss": last_val, "bad_epochs": plateau.num_bad})
             if lr < best_lr:
                 best_lr, wait = lr, 0
             else:
@@ -417,8 +444,6 @@ class Trainer:
                     if len(losses) == val_every:
                         rng, vrng = jax.random.split(rng)
                         after_val(step_idx, self._validate(params, dm, vrng))
-                        if stop:
-                            break
             else:
                 epoch_step = 0
                 for batch in self._batches(dm, dm.train_idx, True, host_rng,
@@ -441,14 +466,14 @@ class Trainer:
                     if epoch_step % val_every == 0:
                         rng, vrng = jax.random.split(rng)
                         after_val(step_idx, self._validate(params, dm, vrng))
-                        if stop:
-                            break
 
+            after_epoch(epoch)
             history["train_loss"].append(
                 float(jnp.mean(jnp.stack(epoch_losses)))
                 if epoch_losses else float("nan"))
             self._saver.submit(self._save_epoch, params, opt_state, epoch,
-                               float(lr), float(plateau.best))
+                               float(lr), float(plateau.best),
+                               int(plateau.num_bad), int(wait))
             dt = time.time() - t0
             self._log({"event": "epoch", "epoch": epoch,
                        "train_loss": history["train_loss"][-1],
@@ -462,7 +487,8 @@ class Trainer:
                 "lr": lr}
 
     def _save_epoch(self, params, opt_state, epoch: int, lr: float,
-                    best_val: float):
+                    best_val: float, num_bad: int = 0, es_wait: int = 0):
         ckpt_lib.save_checkpoint(self.out_dir, params, epoch)
         ckpt_lib.save_train_state(self.out_dir, opt_state, {
-            "epoch": epoch, "lr": lr, "best_val": best_val})
+            "epoch": epoch, "lr": lr, "best_val": best_val,
+            "num_bad": num_bad, "es_wait": es_wait})

@@ -251,3 +251,56 @@ def test_zarr_live_backend_and_compressors(tmp_path):
     with open(tmp_path / "x.zarr" / "data" / "position" / ".zarray") as f:
         comp = json.load(f)["compressor"]
     assert comp["cname"] == "lz4" and comp["clevel"] == 1
+
+
+def test_zarr_buffer_reopen_and_save_roundtrip(tmp_path):
+    """ADVICE r2: (a) constructing ZarrReplayBuffer on an existing path must
+    reopen it (reference create_from_group preserves arrays, overwrite=False,
+    replay_buffer.py:136-160), not wipe the episode index; (b) save_to_path
+    on a ZarrReplayBuffer must write the actual data arrays (the lazy
+    mapping's items()/values() route through tensorstore reads)."""
+    import json
+
+    from state_policy_diffusionmodel_tpu.data.replay_buffer import (
+        COMPRESSOR_PRESETS, ZarrReplayBuffer, load_zarr)
+
+    rng = np.random.default_rng(1)
+    ep1 = {"position": rng.normal(size=(12, 2)).astype(np.float32),
+           "action": rng.normal(size=(12, 3)).astype(np.float32)}
+    ep2 = {"position": rng.normal(size=(9, 2)).astype(np.float32),
+           "action": rng.normal(size=(9, 3)).astype(np.float32)}
+
+    p = str(tmp_path / "live.zarr")
+    buf = ZarrReplayBuffer(p)
+    buf.add_episode(ep1)
+    del buf
+
+    # reopen: the episode index and data arrays survive; appends continue
+    buf2 = ZarrReplayBuffer(p)
+    assert buf2.n_episodes == 1 and buf2.n_steps == 12
+    np.testing.assert_array_equal(buf2.get_episode(0)["position"],
+                                  ep1["position"])
+    buf2.add_episode(ep2)
+    assert buf2.n_episodes == 2 and buf2.n_steps == 21
+
+    # Mapping protocol on the lazy view
+    d = buf2.data
+    assert "position" in d and d.get("nope") is None
+    assert {k for k, _ in d.items()} == {"position", "action"}
+    assert all(v.shape[0] == 21 for v in d.values())
+
+    # save_to_path writes real arrays that round-trip through load_zarr
+    p2 = str(tmp_path / "copy.zarr")
+    buf2.save_to_path(p2)
+    back = load_zarr(p2)
+    assert back.n_episodes == 2
+    np.testing.assert_array_equal(back.get_episode(1)["action"],
+                                  ep2["action"])
+
+    # preset parity with the reference (replay_buffer.py:289-295)
+    assert COMPRESSOR_PRESETS["default"]["shuffle"] == 0   # lz4 NOSHUFFLE
+    assert COMPRESSOR_PRESETS["disk"] == {
+        "id": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 2}
+    with open(tmp_path / "copy.zarr" / "data" / "position" / ".zarray") as f:
+        comp = json.load(f)["compressor"]
+    assert comp["cname"] == "zstd" and comp["shuffle"] == 2

@@ -60,6 +60,45 @@ def test_reduce_lr_on_plateau():
     assert train.should_early_stop(9.9e-5)
 
 
+def test_plateau_steps_once_per_epoch(tmp_path):
+    """Lightning cadence: validation runs 4×/epoch (val_check_interval=0.25)
+    but ReduceLROnPlateau steps once per EPOCH on the epoch's last val_loss
+    (reference diffusion_ddpm.py:115-125, default interval="epoch") — so
+    under a constant-plateau val_loss the lr must survive >= patience
+    EPOCHS, not patience val checks. Round 2 stepped the plateau on every
+    val check (effective patience 1.25 epochs; lr collapsed to 1e-10
+    mid-run) — this pins the fix."""
+    import json
+
+    cfg = diffusion.PolicyConfig(
+        noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
+        model="UNet", vision_encoder="none", step_size=2)
+    pol = diffusion.DiffusionPolicy(cfg)
+    lr0 = 3e-4
+    tcfg = train.TrainConfig(epochs=8, batch_size=8, lr=lr0, seed=0,
+                             early_stop=False)
+    trainer = train.Trainer(pol, tcfg, str(tmp_path / "run"))
+    # stub out the compute: this test is about host-side scheduler cadence
+    trainer.train_step = lambda p, o, b, r, lr: (p, o, jnp.float32(1.0))
+    trainer._validate = lambda params, dm_, rng: 1.0   # perfect plateau
+    trainer._save_epoch = lambda *a, **k: None
+    dm = _synthetic_module(n_steps=120)
+    trainer.fit(dm)
+
+    events = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    vals = [e for e in events if e["event"] == "val"]
+    lr_epochs = [e for e in events if e["event"] == "lr_epoch"]
+    # quarter-epoch validation still ran 4x per epoch...
+    assert len(vals) == 8 * 4
+    # ...but the plateau stepped once per epoch: torch semantics decay on
+    # num_bad > patience, i.e. after 1 best-setting epoch + 6 bad epochs
+    assert len(lr_epochs) == 8
+    lrs = [e["lr"] for e in lr_epochs]
+    assert lrs[:6] == [lr0] * 6          # lr survives patience=5 epochs
+    assert lrs[6] == pytest.approx(lr0 * 0.1)   # exactly one decay
+    assert lrs[7] == pytest.approx(lr0 * 0.1)   # num_bad reset after decay
+
+
 def test_train_step_descends_loss():
     cfg = diffusion.PolicyConfig(
         noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
