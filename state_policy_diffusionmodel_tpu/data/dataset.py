@@ -98,11 +98,14 @@ class WindowDataset:
             return sample, translation, int(start), int(end)
         return sample
 
-    def batch(self, idxs) -> Dict[str, np.ndarray]:
+    def batch(self, idxs, return_translations: bool = False):
         """Stacked batch {image, position, velocity, action}: (B, T, ...).
 
         Uses the C++ window-sampler (csrc/) when built — one multithreaded
-        gather instead of per-window python — falling back to numpy."""
+        gather instead of per-window python — falling back to numpy.
+        With return_translations=True also returns the (B, 2) per-window
+        first-frame translation vectors (needed to unnormalize predicted
+        positions back to the world frame, cf. `get_window`)."""
         from . import native
         idxs = np.asarray(idxs, np.int64)
         starts = self.indices[idxs, 0]
@@ -117,10 +120,12 @@ class WindowDataset:
         }
         pos = native.gather_windows(self.train_data["position"], starts, seq,
                                     step)
-        pos, _ = native.normalize_positions(
+        pos, translations = native.normalize_positions(
             pos, float(self.stats["position"]["min"]),
             float(self.stats["position"]["max"]))
         out["position"] = pos
+        if return_translations:
+            return out, translations
         return out
 
     def save_stats(self, path: str):
