@@ -105,20 +105,86 @@ def bench_env(n_envs: int, n_steps: int, repeats: int, render: bool,
 
 
 def bench_policy(n_envs: int, repeats: int, amp: bool = True,
-                 profile_dir: str | None = None):
+                 profile_dir: str | None = None, run_dir: str | None = None,
+                 metrics_frames: int = 0):
     """Closed-loop diffusion policy: envs step at 50 Hz sim time; every
     `step_size` frames the policy denoises (DDIM-10) from the rolling obs
     window and commits the next actions — all inside one jit.  amp=True
-    runs the U-Net/encoder forwards in bfloat16 (scheduler math fp32)."""
+    runs the U-Net/encoder forwards in bfloat16 (scheduler math fp32).
+
+    run_dir: load a TRAINED checkpoint + STATS.pkl from a cli.train_policy
+    run; observations are normalized exactly as in training (min-max
+    action/velocity, per-window position centering) and predicted actions
+    unnormalized back to env units — the capability story of
+    /root/reference/run_predictions.py:151-167 at bench scale.  Without it,
+    random-init weights measure pure throughput (same FLOPs).
+
+    metrics_frames > 0 additionally runs one fixed-length rollout from
+    fresh resets and reports driving metrics (mean reward and tiles
+    visited per sim-minute)."""
+    import os
+
     import jax
     import jax.numpy as jnp
     from state_policy_diffusionmodel_tpu import diffusion, envs
 
-    cfg = diffusion.PolicyConfig(
-        noise_steps=1000, obs_horizon=10, pred_horizon=30, inpaint_horizon=1,
-        model="UNet_Film", vision_encoder="autoencoder", step_size=5)
-    pol = diffusion.DiffusionPolicy(cfg)
-    params = pol.init_params(jax.random.key(0))
+    stats = None
+    if run_dir is not None:
+        from state_policy_diffusionmodel_tpu import train
+        from state_policy_diffusionmodel_tpu.data.dataset import load_stats
+
+        hp = train.checkpoints.load_hparams(
+            os.path.join(run_dir, "hparams.yaml"))
+        cfg = diffusion.PolicyConfig(**{
+            k: hp[k] for k in (
+                "noise_steps", "obs_horizon", "pred_horizon",
+                "inpaint_horizon", "prediction_dim", "model",
+                "noise_scheduler_type", "step_size", "time_dim",
+                "vision_encoder", "vision_latent", "uniform_init",
+                "train_encoder") if k in hp})
+        pol = diffusion.DiffusionPolicy(cfg)
+        tmpl = pol.init_params(jax.random.key(0))
+        params = train.checkpoints.load_checkpoint(
+            train.checkpoints.latest_checkpoint(run_dir), tmpl)
+        stats = load_stats(os.path.join(run_dir, "STATS.pkl"))
+        _log(f"[bench] loaded trained policy from {run_dir}")
+    else:
+        cfg = diffusion.PolicyConfig(
+            noise_steps=1000, obs_horizon=10, pred_horizon=30,
+            inpaint_horizon=1, model="UNet_Film",
+            vision_encoder="autoencoder", step_size=5)
+        pol = diffusion.DiffusionPolicy(cfg)
+        params = pol.init_params(jax.random.key(0))
+
+    if stats is not None:
+        pmin = float(np.min(stats["position"]["min"]))
+        pmax = float(np.max(stats["position"]["max"]))
+        prng = (pmax - pmin) or 1.0
+        vlo = np.asarray(stats["velocity"]["min"], np.float32)
+        vrng = np.asarray(stats["velocity"]["max"], np.float32) - vlo
+        vrng = np.where(vrng == 0, 1.0, vrng)
+        alo = np.asarray(stats["action"]["min"], np.float32)
+        arng = np.asarray(stats["action"]["max"], np.float32) - alo
+        arng = np.where(arng == 0, 1.0, arng)
+
+    def norm_batch(hist):
+        """Training-time normalization of the rolling window
+        (data/dataset.py get_window): min-max velocity/action, position
+        min-max then centered on the window's first frame, halved."""
+        if stats is None:
+            return hist
+        sn = (hist["position"] - pmin) / prng * 2.0 - 1.0
+        return {
+            "image_features": hist["image_features"],
+            "position": (sn - sn[:, 0:1]) / 2.0,
+            "velocity": (hist["velocity"] - vlo) / vrng * 2.0 - 1.0,
+            "action": (hist["action"] - alo) / arng * 2.0 - 1.0,
+        }
+
+    def unnorm_actions(a):
+        if stats is None:
+            return a
+        return (a + 1.0) / 2.0 * arng + alo
 
     n_unique = min(4, n_envs)
     geoms = build_geoms(n_unique, n_unique, bake=True)
@@ -129,7 +195,7 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
     T_obs = cfg.obs_horizon
     n_frames = cfg.step_size * 10  # 10 policy invocations per measured run
 
-    def rollout(states, obs_hist, rng):
+    def make_rollout(n_frames):
         """obs_hist: dict of (B, T_obs, ...) rolling windows; images are
         cached as encoder features (each frame encoded once, not re-encoded
         per denoise pass)."""
@@ -139,9 +205,11 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
             rng, sub = jax.random.split(rng)
             # denoise every step_size frames
             def denoise(_):
-                out = pol.sample(params, hist, sub, sampler="ddim",
+                out = pol.sample(params, norm_batch(hist), sub,
+                                 sampler="ddim",
                                  num_inference_steps=10, amp=amp)
-                return out[:, cfg.inpaint_horizon:, 2:5]  # (B, pred, 3)
+                return unnorm_actions(
+                    out[:, cfg.inpaint_horizon:, 2:5])  # (B, pred, 3)
             actions_queue = jax.lax.cond(
                 k % cfg.step_size == 0, denoise,
                 lambda _: actions_queue, None)
@@ -167,36 +235,67 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
             }
             return (states, hist, rng, actions_queue, k + 1), res.reward
 
-        queue0 = jnp.zeros((n_envs, cfg.pred_horizon, 3))
-        (states, obs_hist, rng, _, _), rewards = jax.lax.scan(
-            policy_step, (states, obs_hist, rng, queue0, 0), None,
-            length=n_frames)
-        return states, obs_hist, rewards.sum()
+        def rollout(states, obs_hist, rng):
+            queue0 = jnp.zeros((n_envs, cfg.pred_horizon, 3))
+            (states, obs_hist, rng, _, _), rewards = jax.lax.scan(
+                policy_step, (states, obs_hist, rng, queue0, 0), None,
+                length=n_frames)
+            return states, obs_hist, rewards.sum(0)  # (B,) per-env reward
 
-    rollout = jax.jit(rollout)
-    hist = {
-        "image_features": jnp.zeros((n_envs, T_obs, cfg.vision_latent)),
-        "position": jnp.zeros((n_envs, T_obs, 2)),
-        "velocity": jnp.zeros((n_envs, T_obs, 2)),
-        "action": jnp.zeros((n_envs, T_obs, 3)),
-    }
+        return jax.jit(rollout)
+
+    def fresh_hist():
+        return {
+            "image_features": jnp.zeros((n_envs, T_obs, cfg.vision_latent)),
+            "position": jnp.zeros((n_envs, T_obs, 2)),
+            "velocity": jnp.zeros((n_envs, T_obs, 2)),
+            "action": jnp.zeros((n_envs, T_obs, 3)),
+        }
+
+    rollout = make_rollout(n_frames)
+    hist = fresh_hist()
     rng = jax.random.key(0)
-    states, hist, chk = rollout(states, hist, rng)
-    float(chk)   # fetch a VALUE: the tunnel acks block_until_ready early
+    states, hist, rew = rollout(states, hist, rng)
+    float(rew.sum())  # fetch a VALUE: the tunnel acks block_until_ready early
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        states, hist, chk = rollout(states, hist, rng)
-        float(chk)
+        states, hist, rew = rollout(states, hist, rng)
+        float(rew.sum())
         times.append(time.perf_counter() - t0)
     if profile_dir:
         from state_policy_diffusionmodel_tpu.utils import profiling
         with profiling.trace(profile_dir):
-            states, hist, chk = rollout(states, hist, rng)
-            float(chk)
+            states, hist, rew = rollout(states, hist, rng)
+            float(rew.sum())
         _log(f"[bench] jax.profiler trace written to {profile_dir}")
     frames_per_sec = n_envs * n_frames / min(times)
-    return frames_per_sec
+
+    driving = None
+    if metrics_frames > 0:
+        # one fixed-length rollout from fresh resets: the demo artifact —
+        # reward and tiles visited per sim-minute under the (trained)
+        # policy (the reference's run_predictions capability, measured)
+        mroll = make_rollout(metrics_frames)
+        mstates, _ = envs.vector.reset_batch(geoms, render=True,
+                                             track_ids=track_ids)
+        t0 = time.perf_counter()
+        mstates, _, mrew = mroll(mstates, fresh_hist(), jax.random.key(1))
+        mrew = np.asarray(mrew)
+        tiles = np.asarray(mstates.tile_count)
+        dones = np.asarray(mstates.done)
+        dt = time.perf_counter() - t0
+        sim_minutes = metrics_frames / (50.0 * 60.0)
+        driving = {
+            "sim_minutes": round(sim_minutes, 3),
+            "reward_per_sim_minute": round(float(mrew.mean()) / sim_minutes, 2),
+            "tiles_per_sim_minute": round(float(tiles.mean()) / sim_minutes, 2),
+            "done_fraction": round(float(dones.mean()), 3),
+            "wall_seconds": round(dt, 1),
+        }
+        _log(f"[bench] driving metrics over {metrics_frames} frames x "
+             f"{n_envs} envs: {driving}")
+    return frames_per_sec, driving
 
 
 def main():
@@ -216,6 +315,15 @@ def main():
     ap.add_argument("--unique-tracks", type=int, default=16)
     ap.add_argument("--no-amp", action="store_true",
                     help="policy mode: run the denoiser in fp32 instead of bf16")
+    ap.add_argument("--run_dir", default=None,
+                    help="policy mode: load a trained checkpoint + STATS.pkl "
+                         "from this cli.train_policy run dir (default: "
+                         "random-init weights, pure-throughput measurement)")
+    ap.add_argument("--metrics-frames", type=int, default=None,
+                    help="policy mode: also run one fixed-length rollout and "
+                         "report driving metrics (reward, tiles visited per "
+                         "sim-minute); default 1500 frames (30 sim-seconds) "
+                         "when --run_dir is given, else off")
     ap.add_argument("--profile-dir", default=None,
                     help="policy mode: capture one jax.profiler trace of the "
                          "measured rollout into this directory")
@@ -230,9 +338,14 @@ def main():
         args.unique_tracks = 2
 
     if args.mode == "policy":
-        value = bench_policy(max(args.envs // 16, 1) if args.smoke else args.envs,
-                             args.repeats, amp=not args.no_amp,
-                             profile_dir=args.profile_dir)
+        metrics_frames = args.metrics_frames
+        if metrics_frames is None:
+            metrics_frames = 1500 if args.run_dir else 0
+        value, driving = bench_policy(
+            max(args.envs // 16, 1) if args.smoke else args.envs,
+            args.repeats, amp=not args.no_amp,
+            profile_dir=args.profile_dir, run_dir=args.run_dir,
+            metrics_frames=metrics_frames)
         # real time = 50 sim frames per wall second per env
         realtime_factor = value / (50.0 * args.envs)
         out = {
@@ -241,6 +354,8 @@ def main():
             "unit": "env frames/s (DDIM-10 policy in loop)",
             "vs_baseline": round(realtime_factor, 3),
         }
+        if driving is not None:
+            out["driving"] = driving
     else:
         render = args.mode == "env_render"
         value = bench_env(args.envs, args.steps, args.repeats, render,

@@ -1,5 +1,6 @@
 """Dataset inspection CLI (parity with
-/root/reference/scripts/visualize_{position,images,actions}.py)."""
+/root/reference/scripts/visualize_{position,images,actions}.py, including
+the normalized-window sanity plots of visualize_position.py:150-264)."""
 
 from __future__ import annotations
 
@@ -11,8 +12,14 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("dataset", help="zarr dataset path (dir or .zip)")
     p.add_argument("--what", default="positions",
-                   choices=["positions", "actions", "images"])
+                   choices=["positions", "actions", "images", "normalized"])
     p.add_argument("--episode", type=int, default=0)
+    p.add_argument("--n_windows", type=int, default=4,
+                   help="windows sampled for --what normalized")
+    p.add_argument("--window_len", type=int, default=100,
+                   help="window length for --what normalized "
+                        "(visualize_position.py:150 sequence_length)")
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -31,6 +38,40 @@ def main():
         pos = ep["position"]
         plt.plot(pos[:, 0], pos[:, 1], ".-", ms=2)
         plt.axis("equal"); plt.grid(); plt.title("episode positions")
+    elif args.what == "normalized":
+        # per-window normalization sanity (visualize_position.py:150-264):
+        # raw window | min-max normalized | centered at the first frame,
+        # plus the mean per-window min/max (the averaged-stats quirk inputs,
+        # load_data.py:58-78)
+        from state_policy_diffusionmodel_tpu.data import normalize as N
+
+        pos_all = np.asarray(buf.data["position"], np.float32)
+        ends = np.asarray(buf.episode_ends, np.int64)
+        idx = N.create_sample_indices_sparse(ends, args.window_len, 1)
+        rng = np.random.default_rng(args.seed)
+        picks = rng.permutation(len(idx))[:args.n_windows]
+        n = len(picks)
+        fig, axes = plt.subplots(n, 3, figsize=(12, 3 * n), squeeze=False)
+        mins, maxs = [], []
+        for row, w in enumerate(picks):
+            start, end, _, _ = idx[w]
+            sample = pos_all[start:end]
+            stats = N.get_data_stats(sample)
+            mins.append(float(np.min(stats["min"])))
+            maxs.append(float(np.max(stats["max"])))
+            normed = N.normalize_data(sample, stats)
+            centered = normed - normed[0]
+            for ax, arr, title in zip(
+                    axes[row],
+                    (sample, normed, centered),
+                    ("raw", "normalized", "centered")):
+                ax.plot(arr[:, 0], arr[:, 1])
+                ax.set_title(f"window {w}: {title}")
+                ax.grid(True)
+            axes[row][2].scatter([0], [0], c="r")
+        print(f"mean per-window min {np.mean(mins):.3f} "
+              f"max {np.mean(maxs):.3f} over {n} windows")
+        fig.tight_layout()
     elif args.what == "actions":
         fig, axes = plt.subplots(3, 1, figsize=(10, 7), sharex=True)
         for i, name in enumerate(["steer", "gas", "brake"]):

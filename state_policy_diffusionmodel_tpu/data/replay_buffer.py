@@ -134,9 +134,12 @@ class ReplayBuffer:
 # ---------------------------------------------------------------------------
 
 def _ts_spec(path: str, name: str):
+    # tensorstore's file kvstore rejects "./"-relative paths
+    # ("Invalid file path"); CLI defaults like --base_dir ./data produce them
     return {
         "driver": "zarr",
-        "kvstore": {"driver": "file", "path": os.path.join(path, name)},
+        "kvstore": {"driver": "file",
+                    "path": os.path.abspath(os.path.join(path, name))},
     }
 
 

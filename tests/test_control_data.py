@@ -304,3 +304,17 @@ def test_zarr_buffer_reopen_and_save_roundtrip(tmp_path):
     with open(tmp_path / "copy.zarr" / "data" / "position" / ".zarray") as f:
         comp = json.load(f)["compressor"]
     assert comp["cname"] == "zstd" and comp["shuffle"] == 2
+
+
+def test_zarr_save_relative_path(tmp_path, monkeypatch):
+    """tensorstore's file kvstore rejects './'-relative paths; the CLI
+    defaults (--base_dir ./data) produce them, so save/load must abspath."""
+    from state_policy_diffusionmodel_tpu.data.replay_buffer import (
+        ReplayBuffer, load_zarr)
+
+    monkeypatch.chdir(tmp_path)
+    buf = ReplayBuffer.create_empty_numpy()
+    buf.add_episode({"x": np.arange(7, dtype=np.float32)})
+    buf.save_to_path("./sub/rel.zarr")
+    back = load_zarr("./sub/rel.zarr")
+    np.testing.assert_array_equal(back.data["x"], np.arange(7))
