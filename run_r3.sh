@@ -19,7 +19,7 @@ RUN=r3
 mkdir -p results
 
 # ---- stage 1: training dataset (100k frames) ------------------------------
-if [ ! -d "$DATA_DIR/$TRAIN_ZARR" ]; then
+if [ ! -f "$DATA_DIR/$TRAIN_ZARR/meta/episode_ends/.zarray" ]; then
   python - <<'EOF'
 from state_policy_diffusionmodel_tpu.data import generate_dataset
 generate_dataset(
@@ -32,7 +32,7 @@ fi
 
 # ---- stage 1b: held-out eval dataset (reference
 # evaluation/trajectory_data_generation.py: one left-lane 2000-step episode) -
-if [ ! -d "$DATA_DIR/$EVAL_ZARR" ]; then
+if [ ! -f "$DATA_DIR/$EVAL_ZARR/meta/episode_ends/.zarray" ]; then
   python - <<'EOF'
 from state_policy_diffusionmodel_tpu.data import generate_dataset
 generate_dataset(

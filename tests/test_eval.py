@@ -164,3 +164,59 @@ def test_smoke(ctx, tmp_path):
     assert np.isfinite(out["replay_mse"])
     import os
     assert os.path.exists(fig)
+
+
+def test_bench_obs_normalizers_match_training_normalization():
+    """bench.py --run_dir normalizes the rolling obs window exactly as
+    WindowDataset.get_window normalized training windows (min-max
+    action/velocity, position min-max -> first-frame centering -> /2),
+    and inverts the sampler's normalized actions back to env units."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from bench import make_obs_normalizers
+    from state_policy_diffusionmodel_tpu.data import normalize as N
+
+    rng = np.random.default_rng(7)
+    stats = {
+        "position": {"min": np.float32(-17.8), "max": np.float32(39.4)},
+        "velocity": {"min": np.float32([-3.0, -2.0]),
+                     "max": np.float32([3.0, 4.0])},
+        "action": {"min": np.float32([-1.0, 0.0, 0.0]),
+                   "max": np.float32([1.0, 1.0, 0.8])},
+    }
+    B, T = 3, 10
+    hist = {
+        "image_features": rng.normal(size=(B, T, 128)).astype(np.float32),
+        "position": rng.uniform(-15, 35, size=(B, T, 2)).astype(np.float32),
+        "velocity": rng.uniform(-2, 3, size=(B, T, 2)).astype(np.float32),
+        "action": rng.uniform(0, 0.7, size=(B, T, 3)).astype(np.float32),
+    }
+    norm_batch, unnorm_actions = make_obs_normalizers(stats)
+    out = {k: np.asarray(v) for k, v in norm_batch(hist).items()}
+
+    for b in range(B):
+        npos, _ = N.normalize_position(hist["position"][b], stats["position"])
+        np.testing.assert_allclose(out["position"][b], npos, rtol=1e-5,
+                                   atol=1e-6)
+    np.testing.assert_allclose(
+        out["velocity"], N.normalize_data(hist["velocity"], stats["velocity"]),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        out["action"], N.normalize_data(hist["action"], stats["action"]),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(out["image_features"],
+                                  hist["image_features"])
+
+    # unnorm_actions inverts the action normalization
+    a = rng.uniform(-1, 1, size=(B, 5, 3)).astype(np.float32)
+    back = np.asarray(unnorm_actions(np.asarray(
+        N.normalize_data(a_env := ((a + 1) / 2 *
+                         (stats["action"]["max"] - stats["action"]["min"])
+                         + stats["action"]["min"]), stats["action"]))))
+    np.testing.assert_allclose(back, a_env, rtol=1e-5, atol=1e-6)
+
+    # stats=None is the identity (random-init throughput path)
+    nb, ua = make_obs_normalizers(None)
+    assert nb(hist) is hist and ua(a) is a
