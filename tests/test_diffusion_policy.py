@@ -16,9 +16,11 @@ from state_policy_diffusionmodel_tpu import diffusion
 
 @pytest.fixture(scope="module")
 def tiny_policy():
+    # same config as tests/test_train.py TINY_CFG: one shared shape family
+    # keeps the persistent compile cache warm across the two files
     cfg = diffusion.PolicyConfig(
-        noise_steps=50, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
-        model="UNet", vision_encoder="none", step_size=1)
+        noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
+        model="UNet", vision_encoder="none", step_size=2)
     pol = diffusion.DiffusionPolicy(cfg)
     params = pol.init_params(jax.random.key(0))
     return pol, params
@@ -69,36 +71,25 @@ def test_policy_with_vision_encoder():
     assert cfg.observation_dim == 135
     params = pol.init_params(jax.random.key(0))
     batch = _tiny_batch(B=1, T=6)
-    loss = pol.loss_jit(params, batch, jax.random.key(1))
+    # one compile: loss value + encoder-grad check share a value_and_grad
+    loss, grads = jax.jit(jax.value_and_grad(
+        lambda p: pol.loss(p, batch, jax.random.key(1))))(params)
     assert np.isfinite(float(loss))
     # frozen encoder: no grads flow to it
-    grads = jax.jit(jax.grad(
-        lambda p: pol.loss(p, batch, jax.random.key(1))))(params)
     enc_norm = sum(float(jnp.abs(g).sum())
                    for g in jax.tree.leaves(grads["encoder"]))
     assert enc_norm == 0.0
 
 
-def test_sample_amp_bf16_close_to_fp32():
+def test_sample_amp_bf16_close_to_fp32(tiny_policy):
     """bf16 inference (amp=True) must track the fp32 sampler closely and
-    keep the inpainted rows exactly (they bypass the network)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from state_policy_diffusionmodel_tpu import diffusion
+    keep the inpainted rows exactly (they bypass the network).
 
-    cfg = diffusion.PolicyConfig(
-        noise_steps=20, obs_horizon=4, pred_horizon=6, inpaint_horizon=1,
-        model="UNet", vision_encoder="none", step_size=1)
-    pol = diffusion.DiffusionPolicy(cfg)
-    params = pol.init_params(jax.random.key(0))
-    B = 2
-    rng = np.random.default_rng(0)
-    batch = {
-        "position": jnp.asarray(rng.normal(size=(B, 4, 2)), jnp.float32) * 0.1,
-        "velocity": jnp.asarray(rng.normal(size=(B, 4, 2)), jnp.float32) * 0.1,
-        "action": jnp.asarray(rng.normal(size=(B, 4, 3)), jnp.float32) * 0.1,
-    }
+    Reuses the module policy and the exact _tiny_batch shapes so the fp32
+    DDIM-5 program is the one test_policy_sample_shapes_and_inpaint already
+    compiled; only the bf16 variant compiles here."""
+    pol, params = tiny_policy
+    batch = {k: v * 0.1 for k, v in _tiny_batch().items()}
     r = jax.random.key(3)
     out32 = np.asarray(jax.jit(partial(
         pol.sample, sampler="ddim", num_inference_steps=5))(params, batch, r))

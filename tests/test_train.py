@@ -10,6 +10,26 @@ from state_policy_diffusionmodel_tpu.data.dataset import DataModule, WindowDatas
 from state_policy_diffusionmodel_tpu.data.replay_buffer import ReplayBuffer
 
 
+# One canonical tiny config shared by every test in this file (and matched
+# by test_diffusion_policy.py): a single DiffusionPolicy instance + one
+# init_params lets jax's in-process jit cache and the persistent compile
+# cache dedupe the U-Net programs across tests — the compile-heavy tests
+# here dominated serial suite wall time on 1-CPU hosts.
+TINY_CFG = diffusion.PolicyConfig(
+    noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
+    model="UNet", vision_encoder="none", step_size=2)
+
+
+@pytest.fixture(scope="module")
+def tiny_pol():
+    return diffusion.DiffusionPolicy(TINY_CFG)
+
+
+@pytest.fixture(scope="module")
+def tiny_params(tiny_pol):
+    return tiny_pol.init_params(jax.random.key(0))
+
+
 def _synthetic_module(T_obs=4, T_pred=8, n_steps=400, batch_size=8):
     rng = np.random.default_rng(0)
     t = np.arange(n_steps, dtype=np.float32)
@@ -60,7 +80,7 @@ def test_reduce_lr_on_plateau():
     assert train.should_early_stop(9.9e-5)
 
 
-def test_plateau_steps_once_per_epoch(tmp_path):
+def test_plateau_steps_once_per_epoch(tmp_path, tiny_pol, tiny_params):
     """Lightning cadence: validation runs 4×/epoch (val_check_interval=0.25)
     but ReduceLROnPlateau steps once per EPOCH on the epoch's last val_loss
     (reference diffusion_ddpm.py:115-125, default interval="epoch") — so
@@ -70,20 +90,16 @@ def test_plateau_steps_once_per_epoch(tmp_path):
     mid-run) — this pins the fix."""
     import json
 
-    cfg = diffusion.PolicyConfig(
-        noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
-        model="UNet", vision_encoder="none", step_size=2)
-    pol = diffusion.DiffusionPolicy(cfg)
     lr0 = 3e-4
     tcfg = train.TrainConfig(epochs=8, batch_size=8, lr=lr0, seed=0,
                              early_stop=False)
-    trainer = train.Trainer(pol, tcfg, str(tmp_path / "run"))
+    trainer = train.Trainer(tiny_pol, tcfg, str(tmp_path / "run"))
     # stub out the compute: this test is about host-side scheduler cadence
     trainer.train_step = lambda p, o, b, r, lr: (p, o, jnp.float32(1.0))
     trainer._validate = lambda params, dm_, rng: 1.0   # perfect plateau
     trainer._save_epoch = lambda *a, **k: None
     dm = _synthetic_module(n_steps=120)
-    trainer.fit(dm)
+    trainer.fit(dm, params=tiny_params)
 
     events = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
     vals = [e for e in events if e["event"] == "val"]
@@ -99,23 +115,19 @@ def test_plateau_steps_once_per_epoch(tmp_path):
     assert lrs[7] == pytest.approx(lr0 * 0.1)   # num_bad reset after decay
 
 
-def test_train_step_descends_loss():
-    cfg = diffusion.PolicyConfig(
-        noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
-        model="UNet", vision_encoder="none", step_size=2)
-    pol = diffusion.DiffusionPolicy(cfg)
-    params = pol.init_params(jax.random.key(0))
+def test_train_step_descends_loss(tiny_pol, tiny_params):
+    params = tiny_params
     tcfg = train.TrainConfig(batch_size=8, lr=3e-4)
     opt = train.make_optimizer(tcfg)
     opt_state = opt.init(params)
-    step = train.make_train_step(pol, opt)
+    step = train.make_train_step(tiny_pol, opt)
 
     dm = _synthetic_module()
     batch = next(iter(dm.train_batches(np.random.default_rng(0))))
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     rng = jax.random.key(1)
     losses = []
-    for i in range(30):
+    for i in range(20):
         rng, sub = jax.random.split(rng)
         params, opt_state, loss = step(params, opt_state, batch, sub,
                                        jnp.asarray(3e-4))
@@ -125,14 +137,10 @@ def test_train_step_descends_loss():
 
 
 @pytest.mark.slow
-def test_trainer_end_to_end(tmp_path):
-    cfg = diffusion.PolicyConfig(
-        noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
-        model="UNet", vision_encoder="none", step_size=2)
-    pol = diffusion.DiffusionPolicy(cfg)
+def test_trainer_end_to_end(tmp_path, tiny_pol):
     tcfg = train.TrainConfig(epochs=2, batch_size=8, lr=3e-4, seed=0,
                              early_stop=False)
-    trainer = train.Trainer(pol, tcfg, str(tmp_path / "run"))
+    trainer = train.Trainer(tiny_pol, tcfg, str(tmp_path / "run"))
     dm = _synthetic_module(n_steps=120)  # small: the loop, not the loss
     out = trainer.fit(dm)
     assert len(out["history"]["train_loss"]) == 2
@@ -152,11 +160,8 @@ def test_trainer_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
-def test_trainer_resume(tmp_path):
-    cfg = diffusion.PolicyConfig(
-        noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
-        model="UNet", vision_encoder="none", step_size=2)
-    pol = diffusion.DiffusionPolicy(cfg)
+def test_trainer_resume(tmp_path, tiny_pol):
+    pol = tiny_pol
     dm = _synthetic_module(n_steps=120)
 
     tcfg1 = train.TrainConfig(epochs=1, batch_size=8, lr=3e-4, seed=0,
@@ -185,23 +190,19 @@ def _one_device_mesh():
                 ("data", "model"))
 
 
-def test_fused_chunk_matches_per_step_losses(tmp_path):
+def test_fused_chunk_matches_per_step_losses(tmp_path, tiny_pol, tiny_params):
     """run_train_chunk (lax.scan over steps) must reproduce the per-step
     device-data loop bit-for-bit: same RNG splits, same gathers."""
-    cfg = diffusion.PolicyConfig(
-        noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
-        model="UNet", vision_encoder="none", step_size=2)
-    pol = diffusion.DiffusionPolicy(cfg)
     tcfg = train.TrainConfig(batch_size=8, lr=3e-4, seed=0,
                              device_data=True, early_stop=False)
-    tr = train.Trainer(pol, tcfg, str(tmp_path / "run"),
+    tr = train.Trainer(tiny_pol, tcfg, str(tmp_path / "run"),
                        mesh=_one_device_mesh())
     assert tr._use_device_data()
     dm = _synthetic_module(n_steps=160)
     dev = tr._device_ds(dm)
     run_chunk, run_val = tr._chunk_fns(dm)
 
-    params = pol.init_params(jax.random.key(0))
+    params = tiny_params
     opt_state = tr.optimizer.init(params)
     rng = jax.random.key(7)
     idxs = tr._index_chunks(np.arange(24), 8, True)          # (3, 8)
@@ -240,9 +241,7 @@ def test_fused_chunk_multichip_matches_single_device(tmp_path):
     slow: compiles the 8-device chunk program twice (~110 s cold on a small
     host); the 1-device fused-vs-per-step equivalence stays in the fast set
     and the driver's dryrun_multichip exercises this path every round."""
-    cfg = diffusion.PolicyConfig(
-        noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
-        model="UNet", vision_encoder="none", step_size=2)
+    cfg = TINY_CFG
     dm = _synthetic_module(n_steps=160)
     idxs_np = np.arange(32).reshape(2, 16).astype(np.int32)
 
@@ -273,14 +272,10 @@ def test_fused_chunk_multichip_matches_single_device(tmp_path):
 
 
 @pytest.mark.slow
-def test_trainer_device_data_end_to_end(tmp_path):
-    cfg = diffusion.PolicyConfig(
-        noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
-        model="UNet", vision_encoder="none", step_size=2)
-    pol = diffusion.DiffusionPolicy(cfg)
+def test_trainer_device_data_end_to_end(tmp_path, tiny_pol):
     tcfg = train.TrainConfig(epochs=2, batch_size=8, lr=3e-4, seed=0,
                              early_stop=False, device_data=True)
-    trainer = train.Trainer(pol, tcfg, str(tmp_path / "run"),
+    trainer = train.Trainer(tiny_pol, tcfg, str(tmp_path / "run"),
                             mesh=_one_device_mesh())
     dm = _synthetic_module(n_steps=120)
     out = trainer.fit(dm)
@@ -328,19 +323,15 @@ def test_step_timer_and_timed():
     assert t.seconds >= 0
 
 
-def test_sample_hook_writes_figures(tmp_path):
+def test_sample_hook_writes_figures(tmp_path, tiny_pol, tiny_params):
     """make_sample_hook: the reference's validation-time position/action
     overlay figures (diffusion_ddpm.py:100-113,351-422) land in
     <out_dir>/samples/ as PNGs."""
     pytest.importorskip("matplotlib")
-    cfg = diffusion.PolicyConfig(
-        noise_steps=10, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
-        model="UNet", vision_encoder="none", step_size=2)
-    pol = diffusion.DiffusionPolicy(cfg)
-    params = pol.init_params(jax.random.key(0))
+    params = tiny_params
     dm = _synthetic_module(n_steps=120)
 
-    hook = train.make_sample_hook(pol, dm, str(tmp_path), sampler="ddim",
+    hook = train.make_sample_hook(tiny_pol, dm, str(tmp_path), sampler="ddim",
                                   num_inference_steps=5)
     assert hook is not None
     hook(params, step_idx=7)
