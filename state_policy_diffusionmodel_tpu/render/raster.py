@@ -435,28 +435,46 @@ def _score_value_table() -> np.ndarray:
 
 _SCORE_VALUES = _score_value_table()
 
+# tight bounding box of every pixel any glyph can light, within the HUD
+# band: the label occupies a fixed ~(rows x cols) corner, so the one-hot
+# contraction only needs that sub-block (22x fewer dot outputs than the
+# full band) and the result maxes into the band with a static slice.
+_SCORE_LIT_R = np.nonzero(_SCORE_VALUES.any(axis=(0, 1, 3)))[0]
+_SCORE_LIT_C = np.nonzero(_SCORE_VALUES.any(axis=(0, 1, 2)))[0]
+_SR0, _SR1 = int(_SCORE_LIT_R.min()), int(_SCORE_LIT_R.max()) + 1
+_SC0, _SC1 = int(_SCORE_LIT_C.min()), int(_SCORE_LIT_C.max()) + 1
+_SCORE_BLOCK = _SCORE_VALUES[:, :, _SR0:_SR1, _SC0:_SC1]
 
-def _score_layer(score: jax.Array) -> jax.Array:
-    """Score digits as a layer plane over the HUD row band.
+
+def _score_block(score: jax.Array) -> jax.Array:
+    """Score digits as a (rows, cols) layer sub-block (HUD-band-relative
+    rows [_SR0,_SR1), cols [_SC0,_SC1)).
 
     Binary approximation of the GL alpha-blended label: 4x4 subsample
     coverage per pixel, lit where coverage >= 0.25 (strokes are ~0.4-0.5 of
     a 96x96 pixel wide, so antialiased gray in GL becomes solid white here).
     Runtime work is ONE tiny matmul: a (4,11) one-hot of the glyph values
-    contracted against the pre-thresholded (44, rows*128) value table —
-    under vmap the whole env batch becomes a single (B,44)@(44,2816) MXU
-    dot whose output maxes straight into the HUD band (the round-2 version
-    did 44 per-plane selects plus a separate band update per env per frame,
-    which cost ~2.6% of env+render throughput). bf16 is exact here: table
-    entries are 0 or L_SCORE and at most one slot lights a pixel.
+    contracted against the pre-thresholded value table, trimmed to the
+    label's lit bounding box — under vmap the whole env batch becomes a
+    single (B,44)@(44,rows*cols) MXU dot (the round-2 version did 44
+    per-plane selects over the full band per env per frame, which cost
+    ~2.6% of env+render throughput). int8 is exact here: table entries are
+    0 or L_SCORE and at most one slot lights a pixel.
     """
     chars = _score_chars(score)                              # (4,) int32
     onehot = (chars[:, None] == jnp.arange(11)[None, :])     # (4, 11)
     table = jnp.asarray(
-        _SCORE_VALUES.reshape(44, -1), jnp.int8)             # (44, H*128)
+        _SCORE_BLOCK.reshape(44, -1), jnp.int8)              # (44, r*c)
     vals = jnp.dot(onehot.reshape(1, 44).astype(jnp.int8), table,
-                   preferred_element_type=jnp.int32)         # (1, H*128)
-    return vals.reshape(_SCORE_VALUES.shape[2:])
+                   preferred_element_type=jnp.int32)         # (1, r*c)
+    return vals.reshape(_SCORE_BLOCK.shape[2:])
+
+
+def _score_layer(score: jax.Array) -> jax.Array:
+    """Full HUD-band score layer (kept for tests/A-B: zero-padded block)."""
+    h0, h1 = HUD_ROWS
+    out = jnp.zeros((h1 - h0, 128), jnp.int32)
+    return out.at[_SR0:_SR1, _SC0:_SC1].set(_score_block(score))
 
 
 def _hud_layer(wx, wy, car: CarState, hull_vel):
@@ -611,9 +629,11 @@ def _compose(
     h0, h1 = HUD_ROWS
     hud_band = _hud_layer(wx[h0:h1], wy[h0:h1], car, hull_vel)
     # score digits (drawn last in the reference, car_racing.py:774-775) live
-    # inside the HUD band — max them into it before the single band update
+    # inside the HUD band — max the trimmed glyph block into its static
+    # sub-slice before the single band update
     if score is not None:
-        hud_band = jnp.maximum(hud_band, _score_layer(score))
+        blk = _score_block(score)
+        hud_band = hud_band.at[_SR0:_SR1, _SC0:_SC1].max(blk)
     layer = layer.at[h0:h1].set(jnp.maximum(layer[h0:h1], hud_band))
 
     # lanes sit above road/grass but below points/car/HUD: exactly max order.
