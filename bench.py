@@ -143,7 +143,8 @@ def make_obs_normalizers(stats):
 
 def bench_policy(n_envs: int, repeats: int, amp: bool = True,
                  profile_dir: str | None = None, run_dir: str | None = None,
-                 metrics_frames: int = 0):
+                 metrics_frames: int = 0, ddim_spacing: str = "leading",
+                 gaussian_init: bool = False):
     """Closed-loop diffusion policy: envs step at 50 Hz sim time; every
     `step_size` frames the policy denoises (DDIM-10) from the rolling obs
     window and commits the next actions — all inside one jit.  amp=True
@@ -179,6 +180,9 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
                 "noise_scheduler_type", "step_size", "time_dim",
                 "vision_encoder", "vision_latent", "uniform_init",
                 "train_encoder") if k in hp})
+        if gaussian_init:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, uniform_init=False)
         pol = diffusion.DiffusionPolicy(cfg)
         tmpl = pol.init_params(jax.random.key(0))
         params = train.checkpoints.load_checkpoint(
@@ -216,7 +220,8 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
             def denoise(_):
                 out = pol.sample(params, norm_batch(hist), sub,
                                  sampler="ddim",
-                                 num_inference_steps=10, amp=amp)
+                                 num_inference_steps=10, amp=amp,
+                                 ddim_spacing=ddim_spacing)
                 return unnorm_actions(
                     out[:, cfg.inpaint_horizon:, 2:5])  # (B, pred, 3)
             actions_queue = jax.lax.cond(
@@ -336,6 +341,14 @@ def main():
     ap.add_argument("--profile-dir", default=None,
                     help="policy mode: capture one jax.profiler trace of the "
                          "measured rollout into this directory")
+    ap.add_argument("--gaussian_init", action="store_true",
+                    help="N(0,1) reverse-diffusion init instead of the "
+                         "reference's uniform-[0,1) quirk (large DDIM "
+                         "accuracy win; affects --run_dir rollouts)")
+    ap.add_argument("--ddim_spacing", default="leading",
+                    choices=["leading", "trailing"],
+                    help="DDIM grid; trailing removes the few-step bias "
+                         "(better driving metrics at DDIM-10)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes for CPU smoke testing")
     args = ap.parse_args()
@@ -354,6 +367,8 @@ def main():
             max(args.envs // 16, 1) if args.smoke else args.envs,
             args.repeats, amp=not args.no_amp,
             profile_dir=args.profile_dir, run_dir=args.run_dir,
+            ddim_spacing=args.ddim_spacing,
+            gaussian_init=args.gaussian_init,
             metrics_frames=metrics_frames)
         # real time = 50 sim frames per wall second per env
         realtime_factor = value / (50.0 * args.envs)

@@ -26,9 +26,19 @@ def main():
     p.add_argument("--track_seed", type=int, default=42)
     p.add_argument("--sampler", default="ddim", choices=["ddim", "ddpm"])
     p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--gaussian_init", action="store_true",
+                   help="init reverse diffusion from N(0,1) instead of the "
+                        "reference's uniform-[0,1) quirk (large accuracy "
+                        "win for DDIM; see RESULTS_r3)")
+    p.add_argument("--ddim_spacing", default="leading",
+                   choices=["leading", "trailing"],
+                   help="trailing removes the few-step DDIM bias "
+                        "(leading = diffusers/reference default)")
     p.add_argument("--max_windows", type=int, default=None)
     p.add_argument("--out", default=None, help="write results JSON here")
     args = p.parse_args()
+
+    import dataclasses
 
     import jax
     import numpy as np
@@ -43,6 +53,8 @@ def main():
             "prediction_dim", "model", "noise_scheduler_type", "step_size",
             "time_dim", "vision_encoder", "vision_latent", "uniform_init",
             "train_encoder") if k in hp})
+    if args.gaussian_init:
+        cfg = dataclasses.replace(cfg, uniform_init=False)
     policy = diffusion.DiffusionPolicy(cfg)
     tmpl = policy.init_params(jax.random.key(0))
     params = train.checkpoints.load_checkpoint(
@@ -55,7 +67,8 @@ def main():
     dm.setup(args.dataset_name)
     ctx = E.EvalContext(policy=policy, params=params, dataset=dm.data_full,
                         track_seed=args.track_seed, sampler=args.sampler,
-                        num_inference_steps=args.num_inference_steps)
+                        num_inference_steps=args.num_inference_steps,
+                        ddim_spacing=args.ddim_spacing)
 
     def run_one(name):
         w, n = args.window, args.n_runs

@@ -20,6 +20,10 @@ def main():
     p.add_argument("--target_velocity", type=float, default=30.0)
     p.add_argument("--sampler", default="ddim")
     p.add_argument("--num_inference_steps", type=int, default=10)
+    p.add_argument("--ddim_spacing", default="leading",
+                   choices=["leading", "trailing"])
+    p.add_argument("--gaussian_init", action="store_true",
+                   help="N(0,1) sampler init instead of the reference quirk")
     p.add_argument("--out", default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
@@ -42,6 +46,9 @@ def main():
             "prediction_dim", "model", "noise_scheduler_type", "step_size",
             "time_dim", "vision_encoder", "vision_latent", "uniform_init",
             "train_encoder") if k in hp})
+    if args.gaussian_init:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, uniform_init=False)
     policy = diffusion.DiffusionPolicy(cfg)
     tmpl = policy.init_params(jax.random.key(0))
     params = train.checkpoints.load_checkpoint(
@@ -70,7 +77,8 @@ def main():
 
     sample_jit = jax.jit(lambda p, b, r: policy.sample(
         p, b, r, sampler=args.sampler,
-        num_inference_steps=args.num_inference_steps))
+        num_inference_steps=args.num_inference_steps,
+        ddim_spacing=args.ddim_spacing))
 
     action = jnp.zeros(3)
     for step in range(args.steps):

@@ -15,6 +15,10 @@ def main():
     p.add_argument("--dataset_name", required=True)
     p.add_argument("--model_name", default="DDPM", choices=["DDPM", "DDIM"])
     p.add_argument("--num_inference_steps", type=int, default=100)
+    p.add_argument("--ddim_spacing", default="leading",
+                   choices=["leading", "trailing"])
+    p.add_argument("--gaussian_init", action="store_true",
+                   help="N(0,1) sampler init instead of the reference quirk")
     p.add_argument("--ddim_compat_100", action="store_true",
                    help="replicate generate.py's 100-step DDIM scheduler swap")
     p.add_argument("--out_dir", default=None)
@@ -36,6 +40,9 @@ def main():
             "prediction_dim", "model", "noise_scheduler_type", "step_size",
             "time_dim", "vision_encoder", "vision_latent", "uniform_init",
             "train_encoder") if k in hp})
+    if args.gaussian_init:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, uniform_init=False)
     policy = diffusion.DiffusionPolicy(cfg)
     tmpl = policy.init_params(jax.random.key(0))
     ckpt = train.checkpoints.latest_checkpoint(args.run_dir)
@@ -54,7 +61,8 @@ def main():
     hist = policy.sample(params, batch, jax.random.key(args.seed),
                          sampler=sampler,
                          num_inference_steps=args.num_inference_steps,
-                         history=True, ddim_compat_100=args.ddim_compat_100)
+                         history=True, ddim_compat_100=args.ddim_compat_100,
+                         ddim_spacing=args.ddim_spacing)
     hist = np.asarray(jax.device_get(hist))
     print(f"sampling took {time.time() - t0:.2f}s "
           f"({hist.shape[0] - 1} denoise steps)")

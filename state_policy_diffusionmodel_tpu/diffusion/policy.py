@@ -186,7 +186,7 @@ class DiffusionPolicy:
                sampler: str = "ddpm",
                num_inference_steps: Optional[int] = None,
                history: bool = False, ddim_compat_100: bool = False,
-               amp: bool = False):
+               amp: bool = False, ddim_spacing: str = "leading"):
         """Reverse diffusion conditioned on an observation-only batch.
 
         Returns (B, inpaint+pred, 5), or with history=True the full
@@ -224,9 +224,13 @@ class DiffusionPolicy:
             else:
                 sched = self.schedule
                 n = num_inference_steps or 100
-                timesteps = jnp.asarray(S.ddim_timesteps(cfg.noise_steps, n))
-                ratio = cfg.noise_steps // n
-                prev_ts = timesteps - ratio
+                timesteps = jnp.asarray(
+                    S.ddim_timesteps(cfg.noise_steps, n, ddim_spacing))
+                # each step's target is the next grid point (last -> -1);
+                # for 'leading' this equals the diffusers t - ratio (both
+                # land below 0 at the end, where alpha_bar_prev = 1)
+                prev_ts = jnp.concatenate(
+                    [timesteps[1:], jnp.full((1,), -1, timesteps.dtype)])
             use_ddim = True
         else:
             raise ValueError(sampler)

@@ -113,7 +113,21 @@ def ddim_step(sched: DiffusionSchedule, eps: jax.Array, t: jax.Array,
     return jnp.sqrt(acp_p) * x0 + dir_xt
 
 
-def ddim_timesteps(num_train: int, num_inference: int) -> np.ndarray:
-    """diffusers DDIM spacing: (arange(n) * (train // n)).round()[::-1]."""
+def ddim_timesteps(num_train: int, num_inference: int,
+                   spacing: str = "leading") -> np.ndarray:
+    """DDIM timestep grids.
+
+    'leading' — diffusers DDIMScheduler default (what the reference's HF
+    scheduler uses): (arange(n) * (train // n)).round()[::-1]; the chain
+    starts at t = train - ratio, not train - 1.
+    'trailing' — arange(train, 0, -train/n).round() - 1: the chain starts
+    at the last trained timestep, which removes the known few-step DDIM
+    bias (the sampler otherwise treats pure noise as if it were the
+    slightly-less-noisy t = train - ratio marginal). Measurably better at
+    n <= 50 on this repo's policies; opt-in to keep reference parity.
+    """
+    if spacing == "trailing":
+        return (np.round(np.arange(num_train, 0, -num_train / num_inference))
+                .astype(np.int64) - 1).copy()
     ratio = num_train // num_inference
     return (np.arange(num_inference) * ratio).round().astype(np.int64)[::-1].copy()

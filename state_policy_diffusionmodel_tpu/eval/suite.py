@@ -49,6 +49,7 @@ class EvalContext:
     track_seed: int = 42            # env seed for closed-loop replays
     sampler: str = "ddim"
     num_inference_steps: int = 50
+    ddim_spacing: str = "leading"
 
     def __post_init__(self):
         self._geom_cache = {}
@@ -105,7 +106,8 @@ class EvalContext:
             # slower on CPU and a tunnel round trip per op on TPU)
             object.__setattr__(self, "_sample_jit", jax.jit(functools.partial(
                 self.policy.sample, sampler=self.sampler,
-                num_inference_steps=self.num_inference_steps)))
+                num_inference_steps=self.num_inference_steps,
+                ddim_spacing=self.ddim_spacing)))
         return self._sample_jit(self.params, tiled, rngs[0])
 
     def sample_batch(self, batch, seed: int = 0) -> jax.Array:
@@ -114,7 +116,8 @@ class EvalContext:
         if not hasattr(self, "_sample_jit"):
             object.__setattr__(self, "_sample_jit", jax.jit(functools.partial(
                 self.policy.sample, sampler=self.sampler,
-                num_inference_steps=self.num_inference_steps)))
+                num_inference_steps=self.num_inference_steps,
+                ddim_spacing=self.ddim_spacing)))
         return self._sample_jit(self.params, batch, jax.random.key(seed))
 
     def unnormalize_positions(self, pred, translation) -> np.ndarray:

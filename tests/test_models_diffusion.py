@@ -105,6 +105,29 @@ def test_ddim_with_perfect_eps_recovers_x0():
     np.testing.assert_allclose(np.asarray(x_prev), np.asarray(expect), atol=1e-5)
 
 
+def test_ddim_timestep_spacings():
+    """'leading' must keep the diffusers/reference grid exactly; 'trailing'
+    must start at the last trained timestep and end at t=0, removing the
+    few-step start-of-chain bias (sampling begins where alpha_bar is
+    smallest, matching the pure-noise init)."""
+    lead = S.ddim_timesteps(1000, 10)
+    np.testing.assert_array_equal(lead, np.arange(10)[::-1] * 100)
+    trail = S.ddim_timesteps(1000, 10, "trailing")
+    np.testing.assert_array_equal(trail, np.arange(999, 0, -100))
+    assert trail[0] == 999  # chain starts at the LAST trained timestep
+    # n that doesn't divide the train steps still yields n descending ts
+    t2 = S.ddim_timesteps(1000, 7, "trailing")
+    assert len(t2) == 7 and (np.diff(t2) < 0).all() and t2[0] == 999
+    # the sampler's shifted prev grid equals diffusers' t - ratio rule for
+    # 'leading' at every step that matters (both end below 0 -> acp_prev=1)
+    sched = S.make_schedule(1000, "linear")
+    prev_shift = np.concatenate([lead[1:], [-1]])
+    prev_diffusers = lead - 100
+    np.testing.assert_array_equal(
+        np.asarray(S._acp_prev(sched, jnp.asarray(prev_shift))),
+        np.asarray(S._acp_prev(sched, jnp.asarray(prev_diffusers))))
+
+
 def test_ddpm_step_t0_is_deterministic_posterior_mean():
     sched = S.make_schedule(1000, "linear")
     x0 = jnp.full((1, 2, 2), 0.3)
