@@ -144,7 +144,7 @@ def make_obs_normalizers(stats):
 def bench_policy(n_envs: int, repeats: int, amp: bool = True,
                  profile_dir: str | None = None, run_dir: str | None = None,
                  metrics_frames: int = 0, ddim_spacing: str = "leading",
-                 gaussian_init: bool = False):
+                 gaussian_init: bool = False, denoise_microbatches: int = 1):
     """Closed-loop diffusion policy: envs step at 50 Hz sim time; every
     `step_size` frames the policy denoises (DDIM-10) from the rolling obs
     window and commits the next actions — all inside one jit.  amp=True
@@ -216,14 +216,27 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
         def policy_step(carry, _):
             states, hist, rng, actions_queue, k = carry
             rng, sub = jax.random.split(rng)
-            # denoise every step_size frames
+            # denoise every step_size frames.  denoise_microbatches > 1
+            # splits the batch into M sequential sampler calls at the same
+            # frame — identical actions, smaller HBM working set per call
+            # (the denoiser is HBM-bound at large B; see BASELINE.md)
             def denoise(_):
-                out = pol.sample(params, norm_batch(hist), sub,
-                                 sampler="ddim",
-                                 num_inference_steps=10, amp=amp,
-                                 ddim_spacing=ddim_spacing)
-                return unnorm_actions(
-                    out[:, cfg.inpaint_horizon:, 2:5])  # (B, pred, 3)
+                M = denoise_microbatches
+                while n_envs % M:      # smoke/tiny runs: fall back to fewer
+                    M -= 1
+                chunk = n_envs // M
+                outs = []
+                for m in range(M):
+                    sl = slice(m * chunk, (m + 1) * chunk)
+                    sub_hist = {k2: v[sl] for k2, v in hist.items()}
+                    sub_m = sub if M == 1 else jax.random.fold_in(sub, m)
+                    out = pol.sample(params, norm_batch(sub_hist), sub_m,
+                                     sampler="ddim",
+                                     num_inference_steps=10, amp=amp,
+                                     ddim_spacing=ddim_spacing)
+                    outs.append(unnorm_actions(
+                        out[:, cfg.inpaint_horizon:, 2:5]))
+                return jnp.concatenate(outs, 0)        # (B, pred, 3)
             actions_queue = jax.lax.cond(
                 k % cfg.step_size == 0, denoise,
                 lambda _: actions_queue, None)
@@ -341,6 +354,10 @@ def main():
     ap.add_argument("--profile-dir", default=None,
                     help="policy mode: capture one jax.profiler trace of the "
                          "measured rollout into this directory")
+    ap.add_argument("--denoise_microbatches", type=int, default=1,
+                    help="split each in-loop denoise into M sequential "
+                         "sampler calls (same actions; HBM working-set "
+                         "experiment at large --envs)")
     ap.add_argument("--gaussian_init", action="store_true",
                     help="N(0,1) reverse-diffusion init instead of the "
                          "reference's uniform-[0,1) quirk (large DDIM "
@@ -369,6 +386,7 @@ def main():
             profile_dir=args.profile_dir, run_dir=args.run_dir,
             ddim_spacing=args.ddim_spacing,
             gaussian_init=args.gaussian_init,
+            denoise_microbatches=args.denoise_microbatches,
             metrics_frames=metrics_frames)
         # real time = 50 sim frames per wall second per env
         realtime_factor = value / (50.0 * args.envs)
