@@ -241,8 +241,10 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
                 k % cfg.step_size == 0, denoise,
                 lambda _: actions_queue, None)
             a = actions_queue[:, (k // cfg.step_size) % cfg.pred_horizon]
+            alive = ~states.done       # stop scoring an env once it's done
             states, res = envs.vector.step_batch(states, geoms, a, render=True,
                                                  track_ids=track_ids)
+            reward = jnp.where(alive, res.reward, 0.0)
             # roll the obs history
             def roll(h, new):
                 return jnp.concatenate([h[:, 1:], new[:, None]], axis=1)
@@ -260,7 +262,7 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
                 "velocity": roll(hist["velocity"], res.info.car_velocity),
                 "action": roll(hist["action"], a),
             }
-            return (states, hist, rng, actions_queue, k + 1), res.reward
+            return (states, hist, rng, actions_queue, k + 1), reward
 
         def rollout(states, obs_hist, rng):
             queue0 = jnp.zeros((n_envs, cfg.pred_horizon, 3))

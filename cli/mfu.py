@@ -6,7 +6,9 @@ BASELINE.md tracks how far the U-Net compute sits from the chip's peak.
 
 For each measured program it reports:
   - analytical FLOPs from XLA's cost model (`compiled.cost_analysis()`),
-  - measured wall time per invocation (dependent-value fetch, warm),
+  - measured device time per execution — K executions chained inside one
+    `lax.scan` dispatch, so the axon tunnel's per-dispatch latency
+    (~20-30 ms) amortizes away instead of dominating the number,
   - achieved TFLOP/s and MFU vs the chip's bf16 peak.
 
   python -m cli.mfu                 # denoiser fwd B=256/1024 + train step
@@ -32,6 +34,8 @@ PEAKS = {
     "TPU v6 lite": 918e12,
 }
 
+K_INNER = 10   # executions per dispatch
+
 
 def _peak(override):
     if override:
@@ -43,19 +47,18 @@ def _peak(override):
     return 197e12
 
 
-def _time_it(fn, args, fetch, repeats=5):
-    """Median wall seconds per invocation, timing a dependent VALUE fetch
+def _time_scanned(scanned, args, repeats=5):
+    """Median wall seconds per inner execution: each call runs K_INNER
+    chained executions in one dispatch, timed by a dependent VALUE fetch
     (through the axon tunnel block_until_ready acks before the remote
     computation finishes — see bench.py)."""
-    out = fn(*args)
-    float(fetch(out))  # warmup + compile
+    float(scanned(*args))  # compile + warmup
     best = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn(*args)
-        float(fetch(out))
+        float(scanned(*args))
         best.append(time.perf_counter() - t0)
-    return float(np.median(best))
+    return float(np.median(best)) / K_INNER
 
 
 def _flops(jitted, *args):
@@ -108,9 +111,20 @@ def main():
         def fwd(p, x, t, cond):
             return pol.unet.apply({"params": p}, x, t, cond)
 
+        @jax.jit
+        def fwd_k(p, x, t, cond):
+            # K executions of the compiled body inside one dispatch; the
+            # accumulator chain keeps them ordered, and scan's compile-once
+            # body prevents cross-iteration CSE
+            def body(acc, _):
+                out = pol.unet.apply({"params": p}, x, t, cond)
+                return acc + jnp.sum(out.astype(jnp.float32)), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                  length=K_INNER)
+            return acc
+
         flops = _flops(fwd, uparams_bf16, x, t, cond)
-        secs = _time_it(fwd, (uparams_bf16, x, t, cond),
-                        lambda o: jnp.sum(o.astype(jnp.float32)))
+        secs = _time_scanned(fwd_k, (uparams_bf16, x, t, cond))
         row(f"denoiser fwd bf16 B={B}", flops, secs)
 
     # --- train step (fp32, batch 16: the reference recipe) ------------------
@@ -123,13 +137,24 @@ def main():
     batch = {
         "position": jnp.zeros((B, T, 2)), "action": jnp.zeros((B, T, 3)),
         "velocity": jnp.zeros((B, T, 2)),
-        "image": jnp.zeros((B, cfg.obs_horizon, 96, 96, 3)),
+        "image": jnp.zeros((B, T, 96, 96, 3)),
     }
     rng = jax.random.key(1)
     lr = jnp.asarray(1e-4)
+
+    @jax.jit
+    def step_k(params, opt_state, batch, rng, lr):
+        def body(carry, _):
+            p, o, r = carry
+            r, sub = jax.random.split(r)
+            p, o, loss = step(p, o, batch, sub, lr)
+            return (p, o, r), loss
+        (_, _, _), losses = jax.lax.scan(
+            body, (params, opt_state, rng), None, length=K_INNER)
+        return losses.sum()
+
     flops = _flops(step, params, opt_state, batch, rng, lr)
-    secs = _time_it(step, (params, opt_state, batch, rng, lr),
-                    lambda o: o[2])
+    secs = _time_scanned(step_k, (params, opt_state, batch, rng, lr))
     row(f"train step fp32 B={B} (w/ encoder)", flops, secs)
 
     if args.out:
