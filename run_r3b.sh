@@ -15,8 +15,12 @@ TRAIN_ZARR=r3_dataset_10_episodes_5_modes.zarr
 EVAL_ZARR=r3_eval_dataset_1_episodes_1_modes.zarr
 RUN=r3
 
+# NOTE: originally --n_epochs 300; stopped at epoch 178 once the lr had
+# plateau-decayed to 1e-20 (without the reference's lr-monitor early stop
+# nothing halts the decay; the model froze ~epoch 100 at val 0.0368).
+# 179 makes the resume a no-op so re-runs go straight to the evals.
 python -m cli.train_policy --dataset_dir "$DATA_DIR" \
-  --dataset_name "$TRAIN_ZARR" --n_epochs 300 --batch_size 16 \
+  --dataset_name "$TRAIN_ZARR" --n_epochs 179 --batch_size 16 \
   --device_data --version $RUN --resume --no_early_stop
 cp ./tb_logs/$RUN/metrics.jsonl results/train_metrics_r3.jsonl
 
