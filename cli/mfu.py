@@ -75,6 +75,8 @@ def main():
     ap.add_argument("--batches", default="256,1024",
                     help="denoiser forward batch sizes")
     ap.add_argument("--train_batch", type=int, default=16)
+    ap.add_argument("--amp", action="store_true",
+                    help="train step with bf16 compute (TrainConfig.amp)")
     ap.add_argument("--out", default=None, help="write rows as JSON here")
     args = ap.parse_args()
 
@@ -128,10 +130,11 @@ def main():
         row(f"denoiser fwd bf16 B={B}", flops, secs)
 
     # --- train step (fp32, batch 16: the reference recipe) ------------------
-    tcfg = train.TrainConfig(batch_size=args.train_batch, lr=1e-4)
+    tcfg = train.TrainConfig(batch_size=args.train_batch, lr=1e-4,
+                             amp=args.amp)
     opt = train.make_optimizer(tcfg)
     opt_state = opt.init(params)
-    step = train.make_train_step(pol, opt)
+    step = train.make_train_step(pol, opt, amp=args.amp)
     B = args.train_batch
     T = cfg.obs_horizon + cfg.pred_horizon
     batch = {
@@ -155,7 +158,8 @@ def main():
 
     flops = _flops(step, params, opt_state, batch, rng, lr)
     secs = _time_scanned(step_k, (params, opt_state, batch, rng, lr))
-    row(f"train step fp32 B={B} (w/ encoder)", flops, secs)
+    prec = "amp-bf16" if args.amp else "fp32"
+    row(f"train step {prec} B={B} (w/ encoder)", flops, secs)
 
     if args.out:
         with open(args.out, "w") as f:
