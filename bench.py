@@ -206,12 +206,20 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
                                            track_ids=track_ids)
 
     T_obs = cfg.obs_horizon
+    L_ring = T_obs * cfg.step_size  # raw-frame ring, subsampled at denoise
     n_frames = cfg.step_size * 10  # 10 policy invocations per measured run
 
-    def make_rollout(n_frames):
-        """obs_hist: dict of (B, T_obs, ...) rolling windows; images are
-        cached as encoder features (each frame encoded once, not re-encoded
-        per denoise pass)."""
+    def make_rollout(n_frames, warmup=0):
+        """obs_hist: dict of (B, T_obs*step_size, ...) rolling raw-frame
+        rings; at denoise time the ring is subsampled every step_size
+        frames (newest-aligned) so the observation window spans the same
+        1 s the training windows did (run_predictions.py ring semantics —
+        a T_obs-frame window rolled every frame would compress 0.2 s of
+        history into the model's 1 s slots).  Images are cached as encoder
+        features (each frame encoded once, not re-encoded per denoise
+        pass).  warmup > 0: drive straight (no denoise) for that many
+        frames first so the ring holds real observations before the
+        policy takes over — used by the driving-metrics rollout."""
 
         def policy_step(carry, _):
             states, hist, rng, actions_queue, k = carry
@@ -226,9 +234,12 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
                     M -= 1
                 chunk = n_envs // M
                 outs = []
+                sub_idx = jnp.arange(cfg.step_size - 1, L_ring,
+                                     cfg.step_size)
                 for m in range(M):
                     sl = slice(m * chunk, (m + 1) * chunk)
-                    sub_hist = {k2: v[sl] for k2, v in hist.items()}
+                    sub_hist = {k2: v[sl][:, sub_idx]
+                                for k2, v in hist.items()}
                     sub_m = sub if M == 1 else jax.random.fold_in(sub, m)
                     out = pol.sample(params, norm_batch(sub_hist), sub_m,
                                      sampler="ddim",
@@ -238,9 +249,18 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
                         out[:, cfg.inpaint_horizon:, 2:5]))
                 return jnp.concatenate(outs, 0)        # (B, pred, 3)
             actions_queue = jax.lax.cond(
-                k % cfg.step_size == 0, denoise,
+                (k % cfg.step_size == 0) & (k >= warmup), denoise,
                 lambda _: actions_queue, None)
-            a = actions_queue[:, (k // cfg.step_size) % cfg.pred_horizon]
+            # prediction rows are step_size frames apart and the queue is
+            # refreshed every step_size frames, so every frame between two
+            # denoises executes row 0 — the action predicted for the 0.1 s
+            # right after the observation window (indexing by k//step_size
+            # drifted into far-future rows as the rollout progressed)
+            a = actions_queue[:, 0]
+            if warmup:
+                warm_a = jnp.broadcast_to(
+                    jnp.array([0.0, 0.3, 0.0], jnp.float32), a.shape)
+                a = jnp.where(k < warmup, warm_a, a)
             alive = ~states.done       # stop scoring an env once it's done
             states, res = envs.vector.step_batch(states, geoms, a, render=True,
                                                  track_ids=track_ids)
@@ -275,10 +295,10 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
 
     def fresh_hist():
         return {
-            "image_features": jnp.zeros((n_envs, T_obs, cfg.vision_latent)),
-            "position": jnp.zeros((n_envs, T_obs, 2)),
-            "velocity": jnp.zeros((n_envs, T_obs, 2)),
-            "action": jnp.zeros((n_envs, T_obs, 3)),
+            "image_features": jnp.zeros((n_envs, L_ring, cfg.vision_latent)),
+            "position": jnp.zeros((n_envs, L_ring, 2)),
+            "velocity": jnp.zeros((n_envs, L_ring, 2)),
+            "action": jnp.zeros((n_envs, L_ring, 3)),
         }
 
     rollout = make_rollout(n_frames)
@@ -305,7 +325,7 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
         # one fixed-length rollout from fresh resets: the demo artifact —
         # reward and tiles visited per sim-minute under the (trained)
         # policy (the reference's run_predictions capability, measured)
-        mroll = make_rollout(metrics_frames)
+        mroll = make_rollout(metrics_frames, warmup=L_ring)
         mstates, _ = envs.vector.reset_batch(geoms, render=True,
                                              track_ids=track_ids)
         t0 = time.perf_counter()
