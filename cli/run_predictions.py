@@ -2,7 +2,12 @@
 a PID driver steers the env while the diffusion policy periodically samples
 a trajectory from the rolling observation window; predictions are overlaid
 on the augmented render (`env.add_points2Buffer` equivalent) and exported
-as a video."""
+as a video.
+
+--drive policy goes beyond the reference: once the observation ring is
+full the policy's own predicted actions drive the car (denoise every
+step_size frames, execute the 0.1s-ahead action row — the bench.py
+closed-loop semantics), still with trajectory overlays."""
 
 from __future__ import annotations
 
@@ -24,6 +29,9 @@ def main():
                    choices=["leading", "trailing"])
     p.add_argument("--gaussian_init", action="store_true",
                    help="N(0,1) sampler init instead of the reference quirk")
+    p.add_argument("--drive", default="pid", choices=["pid", "policy"],
+                   help="pid = reference demo (PID drives, policy overlays"
+                        " predictions); policy = the policy drives itself")
     p.add_argument("--out", default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
@@ -81,6 +89,7 @@ def main():
         ddim_spacing=args.ddim_spacing))
 
     action = jnp.zeros(3)
+    policy_action = None
     for step in range(args.steps):
         speed = jnp.linalg.norm(res.info.car_velocity)
         action, ctrl = ctrl_jit(ctrl_params, ctrl, res.augmented, speed)
@@ -92,7 +101,10 @@ def main():
             hist[k] = hist[k][-L:]
 
         overlay = None
-        if len(hist["position"]) >= L and step % args.predict_every == 0:
+        ring_full = len(hist["position"]) >= L
+        every = (cfg.step_size if args.drive == "policy"
+                 else args.predict_every)
+        if ring_full and step % every == 0:
             sub = {k: np.stack(v[::cfg.step_size])[None]
                    for k, v in hist.items()}
             npos, trans = N.normalize_position(sub["position"][0],
@@ -109,8 +121,16 @@ def main():
             pred = np.asarray(sample_jit(params, batch, s))[0]
             world = N.unnormalize_position(pred[:, :2], trans,
                                            stats["position"])
-            overlay_pts.append(world.astype(np.float32))
-            overlay_pts = overlay_pts[-max_lines:]
+            # in policy mode the sampler runs every step_size frames for
+            # control; only every predict_every-th trajectory is overlaid
+            # (all of them would web the frame in red)
+            if args.drive != "policy" or step % args.predict_every == 0:
+                overlay_pts.append(world.astype(np.float32))
+                overlay_pts = overlay_pts[-max_lines:]
+            if args.drive == "policy":
+                acts = N.unnormalize_data(pred[:, 2:5], stats["action"])
+                policy_action = jnp.asarray(
+                    np.asarray(acts)[cfg.inpaint_horizon])
         if overlay_pts:
             pts = np.zeros((max_lines, cfg.horizon, 2), np.float32)
             valid = np.zeros(max_lines, bool)
@@ -118,6 +138,10 @@ def main():
                 pts[i], valid[i] = w, True
             overlay = Overlay(jnp.asarray(pts), jnp.asarray(valid))
 
+        if args.drive == "policy" and policy_action is not None:
+            action = policy_action        # held for step_size frames
+            # the ring must record the EXECUTED action for this frame
+            hist["action"][-1] = np.asarray(action)
         if overlay is None:
             state, res = step_plain(state, action)
         else:
