@@ -13,6 +13,10 @@ def parse_arguments():
     p.add_argument("--n_epochs", type=int, default=500)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--min_lr", type=float, default=0.0,
+                   help="plateau-decay floor (torch min_lr; reference "
+                        "default 0). Recommended with --no_early_stop, "
+                        "which removes the stop that normally halts decay")
     p.add_argument("--obs_horizon", type=int, default=10)
     p.add_argument("--pred_horizon", type=int, default=30)
     p.add_argument("--inpaint_horizon", type=int, default=1)
@@ -78,7 +82,8 @@ def main():
     )
     tcfg = train.TrainConfig(
         epochs=args.n_epochs, batch_size=args.batch_size, lr=args.lr,
-        amp=args.amp, seed=args.seed, device_data=args.device_data,
+        min_lr=args.min_lr, amp=args.amp, seed=args.seed,
+        device_data=args.device_data,
         early_stop=not args.no_early_stop, tensorboard=args.tensorboard)
     print_hyperparameters(cfg, tcfg)
 

@@ -43,6 +43,10 @@ class TrainConfig:
     batch_size: int = 16
     lr: float = 1e-4
     grad_clip: float = 0.5
+    min_lr: float = 0.0         # plateau-decay floor (torch min_lr; the
+                                # reference uses the torch default 0, so
+                                # --no_early_stop runs decay without bound
+                                # once val plateaus — set e.g. 1e-6 there)
     val_interval: float = 0.25
     amp: bool = False
     seed: int = 42
@@ -337,7 +341,7 @@ class Trainer:
         params = replicate(params, self.mesh)
         opt_state = self.optimizer.init(params)
 
-        plateau = ReduceLROnPlateau(lr=cfg.lr)
+        plateau = ReduceLROnPlateau(lr=cfg.lr, min_lr=cfg.min_lr)
         lr = cfg.lr
         start_epoch = 0
         resume_wait = 0
@@ -353,7 +357,8 @@ class Trainer:
                 start_epoch = int(meta["epoch"]) + 1
                 lr = float(meta["lr"])
                 plateau = ReduceLROnPlateau(
-                    lr=lr, best=float(meta.get("best_val", np.inf)),
+                    lr=lr, min_lr=cfg.min_lr,
+                    best=float(meta.get("best_val", np.inf)),
                     num_bad=int(meta.get("num_bad", 0)))
                 resume_wait = int(meta.get("es_wait", 0))
                 self._log({"event": "resume", "epoch": start_epoch, "lr": lr})

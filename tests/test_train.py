@@ -75,6 +75,13 @@ def test_reduce_lr_on_plateau():
         assert sch.update(1.0) == 1e-3  # within patience
     assert sch.update(1.0) == pytest.approx(1e-4)  # decayed
     assert sch.update(0.5) == pytest.approx(1e-4)  # new best resets
+    # min_lr floors the decay (torch min_lr; the r3 --no_early_stop run
+    # decayed to 1e-20 without it — nothing halts decay once the early
+    # stop is off)
+    floored = train.ReduceLROnPlateau(lr=1e-3, patience=0, min_lr=1e-5)
+    for _ in range(10):
+        lr = floored.update(1.0)
+    assert lr == pytest.approx(1e-5)
     assert not train.should_early_stop(1e-3)
     assert not train.should_early_stop(1e-4)  # strict: initial lr never stops
     assert train.should_early_stop(9.9e-5)
