@@ -100,3 +100,26 @@ def test_sample_amp_bf16_close_to_fp32(tiny_policy):
     np.testing.assert_array_equal(out32[:, 0], out16[:, 0])
     # denoised rows agree to bf16-ish tolerance
     assert np.abs(out32 - out16).max() < 0.05
+
+
+def test_sampler_init_uniform_vs_gaussian():
+    """The reference seeds reverse diffusion from torch.rand UNIFORM [0,1)
+    (diffusion_ddpm.py:205,252) — uniform_init=True (the default) must
+    reproduce that; uniform_init=False is the textbook N(0,1) init exposed
+    as --gaussian_init on the eval/sample/bench CLIs."""
+    base = dict(noise_steps=20, obs_horizon=4, pred_horizon=8,
+                inpaint_horizon=1, model="UNet", vision_encoder="none",
+                step_size=2)
+    rng = jax.random.key(0)
+    uni = diffusion.DiffusionPolicy(
+        diffusion.PolicyConfig(**base))._init_noise(rng, 64)
+    gau = diffusion.DiffusionPolicy(
+        diffusion.PolicyConfig(**base, uniform_init=False))._init_noise(rng, 64)
+    assert uni.shape == gau.shape == (64, 9, 5)
+    u = np.asarray(uni)
+    assert u.min() >= 0.0 and u.max() < 1.0
+    np.testing.assert_allclose(u.mean(), 0.5, atol=0.02)
+    g = np.asarray(gau)
+    assert g.min() < -1.0  # genuinely Gaussian, not shifted uniform
+    np.testing.assert_allclose(g.mean(), 0.0, atol=0.05)
+    np.testing.assert_allclose(g.std(), 1.0, atol=0.05)
