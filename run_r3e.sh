@@ -6,9 +6,17 @@
 # resumed with --no_early_stop, but without the early stop nothing halts
 # ReduceLROnPlateau's decay (torch default min_lr=0) — lr reached 1e-20
 # and the model froze ~epoch 100 at val 0.0368.  TrainConfig.min_lr now
-# plumbs torch's min_lr; this run is the full 500-epoch reference recipe
+# plumbs torch's min_lr; this run is the reference recipe
 # (/root/reference/train.py:16) with --no_early_stop --min_lr 1e-6 so the
 # plateau scheduler anneals to a floor instead of to zero.
+#
+# Epoch budget: the reference default is 500 epochs, but this run converged
+# long before that — ReduceLROnPlateau floored the lr at 1e-6 by epoch 89
+# and val_loss has been flat at 0.0345–0.0353 from epoch ~110 through 184
+# (best 0.03450 @ epoch ~167; see results/train_metrics_r3e.jsonl).  The
+# reference's own EarlyStopping(monitor='lr') would have halted here too,
+# so the recipe is cut to 200 epochs rather than spending 4+ TPU-hours at
+# a dead learning rate.
 #
 # Idempotent: every stage skips if its artifact exists; training resumes.
 set -euo pipefail
@@ -53,9 +61,9 @@ if [ ! -d "$AE_DIR" ]; then
     --epochs 20 --batch_size 128 --version r3
 fi
 
-# ---- stage 3: policy training (500 epochs, lr floor 1e-6) -------------------
+# ---- stage 3: policy training (200 epochs, lr floor 1e-6) -------------------
 python -m cli.train_policy --dataset_dir "$DATA_DIR" \
-  --dataset_name "$TRAIN_ZARR" --n_epochs 500 --batch_size 16 \
+  --dataset_name "$TRAIN_ZARR" --n_epochs 200 --batch_size 16 \
   --device_data --encoder_ckpt "$AE_DIR" --version $RUN \
   --no_early_stop --min_lr 1e-6 --resume
 cp ./tb_logs/$RUN/metrics.jsonl results/train_metrics_r3e.jsonl
