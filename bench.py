@@ -226,8 +226,11 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
             rng, sub = jax.random.split(rng)
             # denoise every step_size frames.  denoise_microbatches > 1
             # splits the batch into M sequential sampler calls at the same
-            # frame — identical actions, smaller HBM working set per call
-            # (the denoiser is HBM-bound at large B; see BASELINE.md)
+            # frame — the same actions (the full-batch x_T is drawn once
+            # and sliced per chunk; deterministic DDIM consumes no other
+            # noise; only XLA's batch-shape tiling reassociation ~1e-6
+            # differs), smaller HBM working set per call (the denoiser is
+            # HBM-bound at large B; see BASELINE.md)
             def denoise(_):
                 M = denoise_microbatches
                 while n_envs % M:      # smoke/tiny runs: fall back to fewer
@@ -236,15 +239,16 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
                 outs = []
                 sub_idx = jnp.arange(cfg.step_size - 1, L_ring,
                                      cfg.step_size)
+                x_T = pol._init_noise(jax.random.split(sub)[0], n_envs)
                 for m in range(M):
                     sl = slice(m * chunk, (m + 1) * chunk)
                     sub_hist = {k2: v[sl][:, sub_idx]
                                 for k2, v in hist.items()}
-                    sub_m = sub if M == 1 else jax.random.fold_in(sub, m)
-                    out = pol.sample(params, norm_batch(sub_hist), sub_m,
+                    out = pol.sample(params, norm_batch(sub_hist), sub,
                                      sampler="ddim",
                                      num_inference_steps=10, amp=amp,
-                                     ddim_spacing=ddim_spacing)
+                                     ddim_spacing=ddim_spacing,
+                                     init_noise=x_T[sl])
                     outs.append(unnorm_actions(
                         out[:, cfg.inpaint_horizon:, 2:5]))
                 return jnp.concatenate(outs, 0)        # (B, pred, 3)

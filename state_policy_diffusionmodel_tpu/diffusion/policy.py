@@ -186,7 +186,8 @@ class DiffusionPolicy:
                sampler: str = "ddpm",
                num_inference_steps: Optional[int] = None,
                history: bool = False, ddim_compat_100: bool = False,
-               amp: bool = False, ddim_spacing: str = "leading"):
+               amp: bool = False, ddim_spacing: str = "leading",
+               init_noise: Optional[jax.Array] = None):
         """Reverse diffusion conditioned on an observation-only batch.
 
         Returns (B, inpaint+pred, 5), or with history=True the full
@@ -195,7 +196,13 @@ class DiffusionPolicy:
 
         amp=True runs the U-Net/encoder forwards in bfloat16 (params cast
         once, scheduler math kept fp32) — ~2x MXU rate for closed-loop
-        inference."""
+        inference.
+
+        init_noise: optional explicit (B, horizon, prediction_dim) x_T,
+        overriding the rng draw — lets a caller split one batch into
+        sequential microbatches that match the full-batch call (same x_T
+        draw; deterministic DDIM consumes no other noise; residual
+        difference is XLA's batch-shape tiling reassociation, ~1e-6)."""
         cfg = self.config
         inpaint = self.inpaint_vector(batch)   # stays fp32: written verbatim
         if amp:
@@ -207,7 +214,7 @@ class DiffusionPolicy:
         B = cond.shape[0]
 
         r_init, r_steps = jax.random.split(rng)
-        x_t = self._init_noise(r_init, B)
+        x_t = self._init_noise(r_init, B) if init_noise is None else init_noise
         x_t = self._constrain(x_t, inpaint)
 
         if sampler == "ddpm":

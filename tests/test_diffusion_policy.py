@@ -123,3 +123,33 @@ def test_sampler_init_uniform_vs_gaussian():
     assert g.min() < -1.0  # genuinely Gaussian, not shifted uniform
     np.testing.assert_allclose(g.mean(), 0.0, atol=0.05)
     np.testing.assert_allclose(g.std(), 1.0, atol=0.05)
+
+
+def test_sample_microbatch_slices_equal(tiny_policy):
+    """bench.py --denoise_microbatches splits one denoise batch into M
+    sequential sampler calls; with the full-batch x_T drawn once and passed
+    per-slice via sample(init_noise=...), the chunked results must equal
+    the full-batch call — same draw, deterministic DDIM consumes no noise
+    after x_T — up to XLA's batch-shape tiling reassociation (measured
+    ~4e-7 max abs on CPU; bitwise equality across different batch shapes is
+    not an XLA guarantee).  Reuses the DDIM-5 program shapes compiled
+    above."""
+    pol, params = tiny_policy
+    batch = _tiny_batch()
+    r = jax.random.key(7)
+    sample = jax.jit(partial(pol.sample, sampler="ddim",
+                             num_inference_steps=5))
+    full = np.asarray(sample(params, batch, r))
+    # the slice bench.py takes: r_init is split(rng)[0], as inside sample()
+    x_T = pol._init_noise(jax.random.split(r)[0], 2)
+    halves = [
+        np.asarray(jax.jit(partial(
+            pol.sample, sampler="ddim", num_inference_steps=5))(
+                params, {k: v[i:i + 1] for k, v in batch.items()}, r,
+                init_noise=x_T[i:i + 1]))
+        for i in range(2)
+    ]
+    chunked = np.concatenate(halves, 0)
+    # inpaint rows bypass the network: exact in every formulation
+    np.testing.assert_array_equal(chunked[:, 0], full[:, 0])
+    np.testing.assert_allclose(chunked, full, atol=1e-5, rtol=1e-5)
