@@ -179,7 +179,7 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
                 "inpaint_horizon", "prediction_dim", "model",
                 "noise_scheduler_type", "step_size", "time_dim",
                 "vision_encoder", "vision_latent", "uniform_init",
-                "train_encoder") if k in hp})
+                "train_encoder", "model_width") if k in hp})
         if gaussian_init:
             import dataclasses
             cfg = dataclasses.replace(cfg, uniform_init=False)

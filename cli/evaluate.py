@@ -52,7 +52,7 @@ def main():
             "noise_steps", "obs_horizon", "pred_horizon", "inpaint_horizon",
             "prediction_dim", "model", "noise_scheduler_type", "step_size",
             "time_dim", "vision_encoder", "vision_latent", "uniform_init",
-            "train_encoder") if k in hp})
+            "train_encoder", "model_width") if k in hp})
     if args.gaussian_init:
         cfg = dataclasses.replace(cfg, uniform_init=False)
     policy = diffusion.DiffusionPolicy(cfg)

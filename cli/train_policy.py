@@ -24,6 +24,9 @@ def parse_arguments():
     p.add_argument("--noise_steps", type=int, default=1000)
     p.add_argument("--model", default="UNet_Film",
                    choices=["UNet_Film", "UNet_FilmnoAttention", "UNet"])
+    p.add_argument("--model_width", type=int, default=None,
+                   help="U-Net base channel count; default = each net's "
+                        "reference channel plan (64 FiLM / 16 simple)")
     p.add_argument("--noise_scheduler", default="linear",
                    choices=["linear", "linear_v2", "cosine"])
     p.add_argument("--vision_encoder", default="autoencoder",
@@ -76,6 +79,7 @@ def main():
         pred_horizon=args.pred_horizon,
         inpaint_horizon=args.inpaint_horizon,
         model=args.model,
+        model_width=args.model_width,
         noise_scheduler_type=args.noise_scheduler,
         step_size=args.step_size,
         vision_encoder=args.vision_encoder,

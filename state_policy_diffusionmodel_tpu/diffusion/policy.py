@@ -54,6 +54,7 @@ class PolicyConfig:
     vision_latent: int = 128
     uniform_init: bool = True        # reference torch.rand sampler init
     train_encoder: bool = False      # reference freezes the AE encoder
+    model_width: Optional[int] = None  # U-Net base channels (None = ref plan)
 
     @property
     def state_cond_dim(self) -> int:
@@ -77,7 +78,8 @@ class DiffusionPolicy:
     def __init__(self, config: PolicyConfig):
         self.config = config
         self.unet = build_model(config.model, out_channels=1,
-                                time_dim=config.time_dim)
+                                time_dim=config.time_dim,
+                                width=config.model_width)
         if config.vision_encoder == "autoencoder":
             self.encoder = Encoder(config.vision_latent)
         elif config.vision_encoder == "resnet18":

@@ -35,6 +35,7 @@ class UNetFiLM(nn.Module):
     out_channels: int = 1
     time_dim: int = 256
     with_attention: bool = True
+    width: int = 64   # base channel count; 64 = reference channel plan
 
     @nn.compact
     def __call__(self, x: jax.Array, t: jax.Array, cond: Optional[jax.Array] = None):
@@ -49,18 +50,19 @@ class UNetFiLM(nn.Module):
         sa = (lambda c: SelfAttention(c)) if self.with_attention else (
             lambda c: (lambda h: h))
 
-        x1 = DoubleConv(64)(x)
-        x2 = sa(128)(DownBlock(128)(x1, t_emb, cond))
-        x3 = sa(256)(DownBlock(256)(x2, t_emb, cond))
-        x4 = sa(256)(DownBlock(256)(x3, t_emb, cond))
+        w = self.width
+        x1 = DoubleConv(w)(x)
+        x2 = sa(2 * w)(DownBlock(2 * w)(x1, t_emb, cond))
+        x3 = sa(4 * w)(DownBlock(4 * w)(x2, t_emb, cond))
+        x4 = sa(4 * w)(DownBlock(4 * w)(x3, t_emb, cond))
 
-        x5 = DoubleConv(512)(x4)
-        x5 = DoubleConv(512)(x5)
-        x5 = DoubleConv(256)(x5)
+        x5 = DoubleConv(8 * w)(x4)
+        x5 = DoubleConv(8 * w)(x5)
+        x5 = DoubleConv(4 * w)(x5)
 
-        h = sa(128)(UpBlock(128)(x5, x3, t_emb, cond))
-        h = sa(64)(UpBlock(64)(h, x2, t_emb, cond))
-        h = sa(64)(UpBlock(64)(h, x1, t_emb, cond))
+        h = sa(2 * w)(UpBlock(2 * w)(x5, x3, t_emb, cond))
+        h = sa(w)(UpBlock(w)(h, x2, t_emb, cond))
+        h = sa(w)(UpBlock(w)(h, x1, t_emb, cond))
 
         h = nn.Conv(self.out_channels, (1, 1))(h)
         return unpad(h, pads)
@@ -86,6 +88,7 @@ class _CondConcat(nn.Module):
 class UNetSimple(nn.Module):
     out_channels: int = 1
     time_dim: int = 256
+    width: int = 16   # base channel count; 16 = reference channel plan
 
     @nn.compact
     def __call__(self, x: jax.Array, t: jax.Array, cond: Optional[jax.Array] = None):
@@ -120,13 +123,14 @@ class UNetSimple(nn.Module):
                 h = _CondConcat()(h, cond)
             return h
 
-        x1 = DoubleConv(16)(x)
-        x2 = down(x1, 32)     # 32 (+32 cond)
-        x3 = down(x2, 128)    # 128 (+32)
-        x4 = down(x3, 256)    # 256 (+32)
-        h = up(x4, x3, 128)
-        h = up(h, x2, 64)
-        h = up(h, x1, 32)
+        w = self.width
+        x1 = DoubleConv(w)(x)
+        x2 = down(x1, 2 * w)      # 32 (+32 cond) at the default width
+        x3 = down(x2, 8 * w)      # 128 (+32)
+        x4 = down(x3, 16 * w)     # 256 (+32)
+        h = up(x4, x3, 8 * w)
+        h = up(h, x2, 4 * w)
+        h = up(h, x1, 2 * w)
         h = nn.Conv(self.out_channels, (1, 1))(h)
         return unpad(h, pads)
 
@@ -138,7 +142,13 @@ MODEL_REGISTRY = {
 }
 
 
-def build_model(name: str, out_channels: int = 1, time_dim: int = 256):
-    """Model selection by the reference's CLI names (diffusion_ddpm.py:54-62)."""
+def build_model(name: str, out_channels: int = 1, time_dim: int = 256,
+                width: Optional[int] = None):
+    """Model selection by the reference's CLI names (diffusion_ddpm.py:54-62).
+
+    width: base channel count override (default None = each net's reference
+    channel plan). The whole plan scales proportionally — handy for width
+    sweeps and for tests, which compile much faster at width 8."""
     cls = MODEL_REGISTRY.get(name, UNetSimple)
-    return cls(out_channels=out_channels, time_dim=time_dim)
+    kw = {} if width is None else {"width": width}
+    return cls(out_channels=out_channels, time_dim=time_dim, **kw)

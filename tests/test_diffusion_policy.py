@@ -20,7 +20,7 @@ def tiny_policy():
     # keeps the persistent compile cache warm across the two files
     cfg = diffusion.PolicyConfig(
         noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
-        model="UNet", vision_encoder="none", step_size=2)
+        model="UNet", model_width=8, vision_encoder="none", step_size=2)
     pol = diffusion.DiffusionPolicy(cfg)
     params = pol.init_params(jax.random.key(0))
     return pol, params
@@ -66,7 +66,7 @@ def test_policy_sample_shapes_and_inpaint(tiny_policy):
 def test_policy_with_vision_encoder():
     cfg = diffusion.PolicyConfig(
         noise_steps=10, obs_horizon=2, pred_horizon=4, inpaint_horizon=1,
-        model="UNet", vision_encoder="autoencoder")
+        model="UNet", model_width=8, vision_encoder="autoencoder")
     pol = diffusion.DiffusionPolicy(cfg)
     assert cfg.observation_dim == 135
     params = pol.init_params(jax.random.key(0))

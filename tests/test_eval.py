@@ -36,7 +36,7 @@ def ctx():
     """Tiny untrained policy + synthetic dataset in inference mode."""
     cfg = diffusion.PolicyConfig(
         noise_steps=10, obs_horizon=4, pred_horizon=6, inpaint_horizon=1,
-        model="UNet", vision_encoder="none", step_size=2)
+        model="UNet", model_width=8, vision_encoder="none", step_size=2)
     pol = diffusion.DiffusionPolicy(cfg)
     params = pol.init_params(jax.random.key(0))
 
@@ -133,7 +133,7 @@ def test_warmed_state_uses_episode_track(tmp_path):
 
     cfg = diffusion.PolicyConfig(
         noise_steps=10, obs_horizon=4, pred_horizon=6, inpaint_horizon=1,
-        model="UNet", vision_encoder="none", step_size=2)
+        model="UNet", model_width=8, vision_encoder="none", step_size=2)
     pol = diffusion.DiffusionPolicy(cfg)
     train_ds = WindowDataset(loaded, 4, 6, step_size=2)
     infer_ds = WindowDataset(loaded, 4, 6, step_size=2, stats=train_ds.stats)

@@ -34,10 +34,13 @@ def test_upsample_align_corners_matches_torch_semantics():
         np.asarray(up[0, :, 0, 0]), [0.0, 1.0, 2.0, 3.0], atol=1e-6)
 
 
-@pytest.mark.parametrize("name,expect_params", [
-    ("UNet_Film", None), ("UNet_FilmnoAttention", None), ("UNet", None)])
-def test_unet_forward_shapes(name, expect_params):
-    net = models.build_model(name)
+@pytest.mark.parametrize("name", [
+    "UNet_Film", "UNet_FilmnoAttention", "UNet"])
+def test_unet_forward_shapes(name):
+    # width=8: a 1/8-scale channel plan — same graph topology, same shape
+    # handling, a fraction of the XLA compile time (the three full-width
+    # programs dominated this file's wall time on 1-CPU hosts)
+    net = models.build_model(name, width=8)
     x = jnp.zeros((2, 31, 5, 1))
     t = jnp.array([3.0, 7.0])
     cond = jnp.zeros((2, 10 * 135))
@@ -47,6 +50,32 @@ def test_unet_forward_shapes(name, expect_params):
     out = jax.jit(net.apply)({"params": params}, x, t, cond)
     assert out.shape == x.shape
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_default_width_is_reference_channel_plan():
+    """width=None must reproduce the reference channel plans exactly
+    (diffusion_unet.py conv ladders). eval_shape: no compilation."""
+    x = jax.ShapeDtypeStruct((1, 32, 8, 1), jnp.float32)
+    t = jax.ShapeDtypeStruct((1,), jnp.float32)
+    cond = jax.ShapeDtypeStruct((1, 1350), jnp.float32)
+
+    def out_ch(tree, path):
+        node = tree
+        for k in path:
+            node = node[k]
+        return node["conv2_kernel"].shape[-1]
+
+    film = jax.eval_shape(models.build_model("UNet_Film").init,
+                          jax.random.key(0), x, t, cond)["params"]
+    assert out_ch(film, ["DoubleConv_0"]) == 64          # inc
+    assert out_ch(film, ["DownBlock_0", "DoubleConv_1"]) == 128
+    assert out_ch(film, ["DownBlock_2", "DoubleConv_1"]) == 256
+    assert out_ch(film, ["DoubleConv_1"]) == 512         # bottleneck
+
+    simple = jax.eval_shape(models.build_model("UNet").init,
+                            jax.random.key(0), x, t, cond)["params"]
+    assert out_ch(simple, ["DoubleConv_0"]) == 16        # inc
+    assert out_ch(simple, ["DoubleConv_6"]) == 256       # deepest down
 
 
 def test_autoencoder_shapes():

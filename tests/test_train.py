@@ -17,7 +17,7 @@ from state_policy_diffusionmodel_tpu.data.replay_buffer import ReplayBuffer
 # here dominated serial suite wall time on 1-CPU hosts.
 TINY_CFG = diffusion.PolicyConfig(
     noise_steps=20, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
-    model="UNet", vision_encoder="none", step_size=2)
+    model="UNet", model_width=8, vision_encoder="none", step_size=2)
 
 
 @pytest.fixture(scope="module")
