@@ -143,6 +143,28 @@ def test_train_step_descends_loss(tiny_pol, tiny_params):
     assert np.mean(losses[-5:]) < 0.7 * np.mean(losses[:5])
 
 
+def test_model_width_hparams_round_trip(tmp_path, tiny_pol):
+    """model_width survives hparams.yaml and the CLI-side PolicyConfig
+    rebuild (cli/{sample,evaluate,run_predictions}.py key filter), so a
+    non-default-width run reloads as the same architecture."""
+    train.checkpoints.save_hparams(str(tmp_path), tiny_pol.config)
+    hp = train.checkpoints.load_hparams(
+        os.path.join(str(tmp_path), "hparams.yaml"))
+    assert hp["model_width"] == 8
+    cfg = diffusion.PolicyConfig(**{
+        k: hp[k] for k in (
+            "noise_steps", "obs_horizon", "pred_horizon", "inpaint_horizon",
+            "prediction_dim", "model", "noise_scheduler_type", "step_size",
+            "time_dim", "vision_encoder", "vision_latent", "uniform_init",
+            "train_encoder", "model_width") if k in hp})
+    assert cfg == tiny_pol.config
+    assert diffusion.DiffusionPolicy(cfg).unet.width == 8
+    # width=None falls back to each net's reference channel plan
+    from state_policy_diffusionmodel_tpu.models import build_model
+    assert build_model("UNet_Film", width=None).width == 64
+    assert build_model("UNet", width=None).width == 16
+
+
 @pytest.mark.slow
 def test_trainer_end_to_end(tmp_path, tiny_pol):
     tcfg = train.TrainConfig(epochs=2, batch_size=8, lr=3e-4, seed=0,
