@@ -77,6 +77,8 @@ def main():
     ap.add_argument("--train_batch", type=int, default=16)
     ap.add_argument("--amp", action="store_true",
                     help="train step with bf16 compute (TrainConfig.amp)")
+    ap.add_argument("--model_width", type=int, default=None,
+                    help="U-Net base channels (None = reference 64 plan)")
     ap.add_argument("--out", default=None, help="write rows as JSON here")
     args = ap.parse_args()
 
@@ -86,7 +88,8 @@ def main():
     print(f"device: {jax.devices()[0].device_kind}, "
           f"assumed bf16 peak {peak/1e12:.0f} TFLOP/s")
 
-    cfg = diffusion.PolicyConfig()          # UNet_Film, obs 10 / pred 30
+    # UNet_Film, obs 10 / pred 30; width None = the reference channel plan
+    cfg = diffusion.PolicyConfig(model_width=args.model_width)
     pol = diffusion.DiffusionPolicy(cfg)
     params = pol.init_params(jax.random.key(0))
     rows = []
@@ -127,7 +130,8 @@ def main():
 
         flops = _flops(fwd, uparams_bf16, x, t, cond)
         secs = _time_scanned(fwd_k, (uparams_bf16, x, t, cond))
-        row(f"denoiser fwd bf16 B={B}", flops, secs)
+        wtag = "" if args.model_width is None else f" w={args.model_width}"
+        row(f"denoiser fwd bf16 B={B}{wtag}", flops, secs)
 
     # --- train step (fp32, batch 16: the reference recipe) ------------------
     tcfg = train.TrainConfig(batch_size=args.train_batch, lr=1e-4,
@@ -159,7 +163,8 @@ def main():
     flops = _flops(step, params, opt_state, batch, rng, lr)
     secs = _time_scanned(step_k, (params, opt_state, batch, rng, lr))
     prec = "amp-bf16" if args.amp else "fp32"
-    row(f"train step {prec} B={B} (w/ encoder)", flops, secs)
+    wtag = "" if args.model_width is None else f" w={args.model_width}"
+    row(f"train step {prec} B={B}{wtag} (w/ encoder)", flops, secs)
 
     if args.out:
         with open(args.out, "w") as f:
