@@ -598,7 +598,7 @@ def _overlay_layer(overlay: Overlay, wx, wy, scroll, angle):
     return jnp.where(hit, jnp.int32(L_POINTS), 0)
 
 
-def _colorize(layer: jax.Array) -> jax.Array:
+def _colorize_matmul(layer: jax.Array) -> jax.Array:
     """(72,128) int32 layer plane -> (96,96,3) uint8 via a one-hot palette
     matmul (exact: one 1 per row, integer-valued bf16 palette)."""
     iw = jax.lax.broadcasted_iota(jnp.int32, (1, N_LAYERS), 1)
@@ -606,6 +606,65 @@ def _colorize(layer: jax.Array) -> jax.Array:
     rgb = jnp.dot(onehot, jnp.asarray(PALETTE_U8, jnp.bfloat16),
                   preferred_element_type=jnp.float32)   # (9216, 3) exact ints
     return rgb.astype(jnp.uint8).reshape(camera.STATE_H, camera.STATE_W, 3)
+
+
+def _palette_runs():
+    """Maximal contiguous [lo, hi] index runs of equal packed palette color
+    over the reachable layer range (compile-time constant).
+
+    Lane indices L_LANE0..+4 never reach `_colorize` — the state-frame layer
+    plane excludes lanes (the augmented frame colorizes them by select in
+    `_compose`) — so they are dropped from the runs, but correctness does not
+    depend on that: they'd just add selects."""
+    pal = PALETTE_U8.astype(np.int32)
+    packed = (pal[:, 0] << 16) | (pal[:, 1] << 8) | pal[:, 2]
+    reach = [k for k in range(L_SCORE + 1)
+             if not (L_LANE0 <= k < L_LANE0 + N_LANES)]
+    runs = []
+    i = 0
+    while i < len(reach):
+        j = i
+        while (j + 1 < len(reach) and reach[j + 1] == reach[j] + 1
+               and packed[reach[j + 1]] == packed[reach[i]]):
+            j += 1
+        runs.append((reach[i], reach[j], int(packed[reach[i]])))
+        i = j + 1
+    return tuple(runs)
+
+
+_PAL_RUNS = _palette_runs()
+
+
+def _colorize_select(layer: jax.Array) -> jax.Array:
+    """(72,128) int32 layer plane -> (96,96,3) uint8 via a fused select
+    chain over a packed-RGB table (bit-identical to `_colorize_matmul`).
+
+    The matmul path builds a (9216, 64) bf16 one-hot per frame — ~1.2 MB
+    that XLA materializes as the dot's LHS (the same patches-tensor tax the
+    im2col convs paid, BASELINE.md).  Here the palette lookup is a chain of
+    range-compare selects on an int32 packed-RGB plane; XLA fuses the whole
+    chain into one elementwise kernel, so per-frame HBM traffic drops to
+    read-layer + write-RGB with no MXU dispatch.  All ops are integer —
+    exactness is structural."""
+    packed = jnp.zeros(layer.shape, jnp.int32)
+    for lo, hi, val in _PAL_RUNS:
+        if val == 0:
+            continue                     # the zero init already covers it
+        if lo == hi:
+            inside = layer == lo
+        else:
+            inside = (layer >= lo) & (layer <= hi)
+        packed = jnp.where(inside, jnp.int32(val), packed)
+    flat = packed.reshape(-1)
+    rgb = jnp.stack([(flat >> 16) & 255, (flat >> 8) & 255, flat & 255],
+                    axis=-1).astype(jnp.uint8)
+    return rgb.reshape(camera.STATE_H, camera.STATE_W, 3)
+
+
+def _colorize(layer: jax.Array) -> jax.Array:
+    if os.environ.get("SPDM_COLORIZE_PATH", "matmul") == "matmul":
+        return _colorize_matmul(layer)
+    return _colorize_select(layer)
 
 
 def _compose(

@@ -51,6 +51,43 @@ def test_render_matches_golden_frames(golden):
         _assert_frames_match(augm, frames[f"f{i}_augm"], f"frame {i} augm")
 
 
+def test_colorize_select_matches_matmul(golden):
+    """The fused select-chain colorizer (SPDM_COLORIZE_PATH=select) must be
+    BIT-identical to the one-hot matmul formulation — all-integer ops, so no
+    edge-pixel budget applies.  Checked on every reachable palette index and
+    on real rendered layer planes (score + overlay exercised)."""
+    # adversarial plane: every reachable index tiled across the plane
+    reach = np.array(
+        [k for k in range(raster.L_SCORE + 1)
+         if not (raster.L_LANE0 <= k < raster.L_LANE0 + raster.N_LANES)],
+        np.int32)
+    plane = jnp.asarray(np.resize(reach, raster.FLAT))
+    a = np.asarray(raster._colorize_matmul(plane))
+    b = np.asarray(raster._colorize_select(plane))
+    np.testing.assert_array_equal(a, b)
+
+    # real frames: full render with both paths (score + overlay on)
+    frames, cars = golden
+    geom = T.build(T.make_track(11), bake=True)
+    car = jax.tree.map(jnp.asarray, cars[-1])
+    ov = raster.Overlay(points=jnp.zeros((2, 4, 2)) + car.pos,
+                        valid=jnp.array([True, False]))
+    score = jnp.float32(-37.2)
+    old = os.environ.get("SPDM_COLORIZE_PATH")
+    try:
+        os.environ["SPDM_COLORIZE_PATH"] = "matmul"
+        obs_m, augm_m = jax.jit(raster.render)(car, geom, ov, score)
+        os.environ["SPDM_COLORIZE_PATH"] = "select"
+        obs_s, augm_s = jax.jit(raster.render)(car, geom, ov, score)
+    finally:
+        if old is None:
+            os.environ.pop("SPDM_COLORIZE_PATH", None)
+        else:
+            os.environ["SPDM_COLORIZE_PATH"] = old
+    np.testing.assert_array_equal(np.asarray(obs_m), np.asarray(obs_s))
+    np.testing.assert_array_equal(np.asarray(augm_m), np.asarray(augm_s))
+
+
 def test_render_overlay_matches_golden(golden):
     frames, cars = golden
     geom = T.build(T.make_track(11), bake=True)
