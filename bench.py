@@ -39,7 +39,7 @@ def _log(msg):
 
 
 def bench_env(n_envs: int, n_steps: int, repeats: int, render: bool,
-              n_unique_tracks: int):
+              n_unique_tracks: int, profile_dir: str | None = None):
     import jax
     import jax.numpy as jnp
     from state_policy_diffusionmodel_tpu import envs
@@ -100,6 +100,12 @@ def bench_env(n_envs: int, n_steps: int, repeats: int, render: bool,
         chk_val = float(chk)
         times.append(time.perf_counter() - t0)
     _log(f"[bench] times={['%.3f' % t for t in times]} chk={chk_val:.3f}")
+    if profile_dir:
+        from state_policy_diffusionmodel_tpu.utils import profiling
+        with profiling.trace(profile_dir):
+            states, chk = run(states, geoms, track_ids, actions)
+            float(chk)
+        _log(f"[bench] jax.profiler trace written to {profile_dir}")
     best = min(times)
     return n_envs * n_steps / best
 
@@ -378,8 +384,8 @@ def main():
                          "sim-minute); default 1500 frames (30 sim-seconds) "
                          "when --run_dir is given, else off")
     ap.add_argument("--profile-dir", default=None,
-                    help="policy mode: capture one jax.profiler trace of the "
-                         "measured rollout into this directory")
+                    help="capture one jax.profiler trace of the measured "
+                         "run into this directory (any mode)")
     ap.add_argument("--denoise_microbatches", type=int, default=1,
                     help="split each in-loop denoise into M sequential "
                          "sampler calls (same actions; HBM working-set "
@@ -427,7 +433,7 @@ def main():
     else:
         render = args.mode == "env_render"
         value = bench_env(args.envs, args.steps, args.repeats, render,
-                          args.unique_tracks)
+                          args.unique_tracks, profile_dir=args.profile_dir)
         out = {
             "metric": f"{args.mode}_steps_per_sec_per_chip",
             "value": round(value, 1),
