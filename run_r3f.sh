@@ -34,8 +34,11 @@ test -d "$AE_DIR" || {
   echo "missing r3 autoencoder — run run_r3e.sh stage 2 first"; exit 1; }
 
 # ---- stage 3: policy training (width 128, 200 epochs, lr floor 1e-6) --------
+# Epoch budget cut 200 -> 125: lr floored at 1e-6 by epoch 75 and val was
+# flat at ~0.0348-0.0353 from epoch 80 through 120 (best 0.03474 @ 107), so
+# the remaining epochs could not move the model.
 python -m cli.train_policy --dataset_dir "$DATA_DIR" \
-  --dataset_name "$TRAIN_ZARR" --n_epochs 200 --batch_size 16 \
+  --dataset_name "$TRAIN_ZARR" --n_epochs 125 --batch_size 16 \
   --model_width 128 \
   --device_data --encoder_ckpt "$AE_DIR" --version $RUN \
   --no_early_stop --min_lr 1e-6 --resume
