@@ -150,7 +150,8 @@ def make_obs_normalizers(stats):
 def bench_policy(n_envs: int, repeats: int, amp: bool = True,
                  profile_dir: str | None = None, run_dir: str | None = None,
                  metrics_frames: int = 0, ddim_spacing: str = "leading",
-                 gaussian_init: bool = False, denoise_microbatches: int = 1):
+                 gaussian_init: bool = False, denoise_microbatches: int = 1,
+                 num_inference_steps: int = 10):
     """Closed-loop diffusion policy: envs step at 50 Hz sim time; every
     `step_size` frames the policy denoises (DDIM-10) from the rolling obs
     window and commits the next actions — all inside one jit.  amp=True
@@ -252,7 +253,8 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
                                 for k2, v in hist.items()}
                     out = pol.sample(params, norm_batch(sub_hist), sub,
                                      sampler="ddim",
-                                     num_inference_steps=10, amp=amp,
+                                     num_inference_steps=num_inference_steps,
+                                     amp=amp,
                                      ddim_spacing=ddim_spacing,
                                      init_noise=x_T[sl])
                     outs.append(unnorm_actions(
@@ -394,6 +396,10 @@ def main():
                     help="N(0,1) reverse-diffusion init instead of the "
                          "reference's uniform-[0,1) quirk (large DDIM "
                          "accuracy win; affects --run_dir rollouts)")
+    ap.add_argument("--num_inference_steps", type=int, default=10,
+                    help="policy mode: DDIM steps per in-loop denoise "
+                         "(default 10 — the headline configuration; use for "
+                         "quality-vs-sampler-cost curves with --run_dir)")
     ap.add_argument("--ddim_spacing", default="leading",
                     choices=["leading", "trailing"],
                     help="DDIM grid; trailing removes the few-step bias "
@@ -419,13 +425,15 @@ def main():
             ddim_spacing=args.ddim_spacing,
             gaussian_init=args.gaussian_init,
             denoise_microbatches=args.denoise_microbatches,
+            num_inference_steps=args.num_inference_steps,
             metrics_frames=metrics_frames)
         # real time = 50 sim frames per wall second per env
         realtime_factor = value / (50.0 * args.envs)
         out = {
             "metric": "closed_loop_policy_frames_per_sec",
             "value": round(value, 1),
-            "unit": "env frames/s (DDIM-10 policy in loop)",
+            "unit": f"env frames/s (DDIM-{args.num_inference_steps} "
+                    "policy in loop)",
             "vs_baseline": round(realtime_factor, 3),
         }
         if driving is not None:
