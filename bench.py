@@ -226,9 +226,15 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
         features (each frame encoded once, not re-encoded per denoise
         pass).  warmup > 0: drive straight (no denoise) for that many
         frames first so the ring holds real observations before the
-        policy takes over — used by the driving-metrics rollout."""
+        policy takes over — used by the driving-metrics rollout.
 
-        def policy_step(carry, _):
+        params/geoms/track_ids enter as explicit jit ARGUMENTS, not closure
+        captures: captured device arrays become constants baked into the
+        serialized compile payload, which the axon remote-compile endpoint
+        rejects (HTTP 413) once the checkpoint is wide-model sized — the
+        same rule DeviceWindowDataset documents (data/dataset.py)."""
+
+        def policy_step(params, geoms, track_ids, carry, _):
             states, hist, rng, actions_queue, k = carry
             rng, sub = jax.random.split(rng)
             # denoise every step_size frames.  denoise_microbatches > 1
@@ -296,10 +302,11 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
             }
             return (states, hist, rng, actions_queue, k + 1), reward
 
-        def rollout(states, obs_hist, rng):
+        def rollout(params, geoms, track_ids, states, obs_hist, rng):
             queue0 = jnp.zeros((n_envs, cfg.pred_horizon, 3))
             (states, obs_hist, rng, _, _), rewards = jax.lax.scan(
-                policy_step, (states, obs_hist, rng, queue0, 0), None,
+                partial(policy_step, params, geoms, track_ids),
+                (states, obs_hist, rng, queue0, 0), None,
                 length=n_frames)
             return states, obs_hist, rewards.sum(0)  # (B,) per-env reward
 
@@ -316,18 +323,20 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
     rollout = make_rollout(n_frames)
     hist = fresh_hist()
     rng = jax.random.key(0)
-    states, hist, rew = rollout(states, hist, rng)
+    states, hist, rew = rollout(params, geoms, track_ids, states, hist, rng)
     float(rew.sum())  # fetch a VALUE: the tunnel acks block_until_ready early
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        states, hist, rew = rollout(states, hist, rng)
+        states, hist, rew = rollout(params, geoms, track_ids, states, hist,
+                                    rng)
         float(rew.sum())
         times.append(time.perf_counter() - t0)
     if profile_dir:
         from state_policy_diffusionmodel_tpu.utils import profiling
         with profiling.trace(profile_dir):
-            states, hist, rew = rollout(states, hist, rng)
+            states, hist, rew = rollout(params, geoms, track_ids, states,
+                                        hist, rng)
             float(rew.sum())
         _log(f"[bench] jax.profiler trace written to {profile_dir}")
     frames_per_sec = n_envs * n_frames / min(times)
@@ -341,7 +350,8 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
         mstates, _ = envs.vector.reset_batch(geoms, render=True,
                                              track_ids=track_ids)
         t0 = time.perf_counter()
-        mstates, _, mrew = mroll(mstates, fresh_hist(), jax.random.key(1))
+        mstates, _, mrew = mroll(params, geoms, track_ids, mstates,
+                                 fresh_hist(), jax.random.key(1))
         mrew = np.asarray(mrew)
         tiles = np.asarray(mstates.tile_count)
         dones = np.asarray(mstates.done)
