@@ -151,7 +151,7 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
                  profile_dir: str | None = None, run_dir: str | None = None,
                  metrics_frames: int = 0, ddim_spacing: str = "leading",
                  gaussian_init: bool = False, denoise_microbatches: int = 1,
-                 num_inference_steps: int = 10):
+                 num_inference_steps: int = 10, sampler: str = "ddim"):
     """Closed-loop diffusion policy: envs step at 50 Hz sim time; every
     `step_size` frames the policy denoises (DDIM-10) from the rolling obs
     window and commits the next actions — all inside one jit.  amp=True
@@ -258,7 +258,7 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
                     sub_hist = {k2: v[sl][:, sub_idx]
                                 for k2, v in hist.items()}
                     out = pol.sample(params, norm_batch(sub_hist), sub,
-                                     sampler="ddim",
+                                     sampler=sampler,
                                      num_inference_steps=num_inference_steps,
                                      amp=amp,
                                      ddim_spacing=ddim_spacing,
@@ -414,6 +414,10 @@ def main():
                     choices=["leading", "trailing"],
                     help="DDIM grid; trailing removes the few-step bias "
                          "(better driving metrics at DDIM-10)")
+    ap.add_argument("--sampler", default="ddim",
+                    choices=["ddim", "dpmpp"],
+                    help="policy mode in-loop sampler; dpmpp = "
+                         "DPM-Solver++(2M), second-order multistep")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes for CPU smoke testing")
     args = ap.parse_args()
@@ -436,14 +440,15 @@ def main():
             gaussian_init=args.gaussian_init,
             denoise_microbatches=args.denoise_microbatches,
             num_inference_steps=args.num_inference_steps,
+            sampler=args.sampler,
             metrics_frames=metrics_frames)
         # real time = 50 sim frames per wall second per env
         realtime_factor = value / (50.0 * args.envs)
         out = {
             "metric": "closed_loop_policy_frames_per_sec",
             "value": round(value, 1),
-            "unit": f"env frames/s (DDIM-{args.num_inference_steps} "
-                    "policy in loop)",
+            "unit": f"env frames/s ({args.sampler.upper()}-"
+                    f"{args.num_inference_steps} policy in loop)",
             "vs_baseline": round(realtime_factor, 3),
         }
         if driving is not None:

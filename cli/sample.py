@@ -13,7 +13,10 @@ def main():
                    help="training run dir (hparams.yaml + STATS.pkl + checkpoints)")
     p.add_argument("--dataset_dir", default="./data")
     p.add_argument("--dataset_name", required=True)
-    p.add_argument("--model_name", default="DDPM", choices=["DDPM", "DDIM"])
+    p.add_argument("--model_name", default="DDPM",
+                   choices=["DDPM", "DDIM", "DPMPP"],
+                   help="DPMPP = DPM-Solver++(2M), beyond-reference: "
+                        "lower error than DDIM at equal steps, same cost")
     p.add_argument("--num_inference_steps", type=int, default=100)
     p.add_argument("--ddim_spacing", default="leading",
                    choices=["leading", "trailing"])
@@ -56,7 +59,7 @@ def main():
     batch_np = dm.data_full.batch(dm.val_idx[:1])
     batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()}
 
-    sampler = "ddim" if args.model_name == "DDIM" else "ddpm"
+    sampler = {"DDIM": "ddim", "DPMPP": "dpmpp"}.get(args.model_name, "ddpm")
     t0 = time.time()
     hist = policy.sample(params, batch, jax.random.key(args.seed),
                          sampler=sampler,

@@ -17,6 +17,11 @@ def parse_arguments():
                    help="plateau-decay floor (torch min_lr; reference "
                         "default 0). Recommended with --no_early_stop, "
                         "which removes the stop that normally halts decay")
+    p.add_argument("--lr_schedule", default="plateau",
+                   choices=["plateau", "cosine"],
+                   help="cosine = half-cosine lr->min_lr over --n_epochs, "
+                        "ignoring val (the large-batch recipe; the epoch-"
+                        "patience plateau decays too early at big batches)")
     p.add_argument("--obs_horizon", type=int, default=10)
     p.add_argument("--pred_horizon", type=int, default=30)
     p.add_argument("--inpaint_horizon", type=int, default=1)
@@ -86,7 +91,8 @@ def main():
     )
     tcfg = train.TrainConfig(
         epochs=args.n_epochs, batch_size=args.batch_size, lr=args.lr,
-        min_lr=args.min_lr, amp=args.amp, seed=args.seed,
+        min_lr=args.min_lr, lr_schedule=args.lr_schedule,
+        amp=args.amp, seed=args.seed,
         device_data=args.device_data,
         early_stop=not args.no_early_stop, tensorboard=args.tensorboard)
     print_hyperparameters(cfg, tcfg)

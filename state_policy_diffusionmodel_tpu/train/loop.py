@@ -48,6 +48,13 @@ class TrainConfig:
                                 # --no_early_stop runs decay without bound
                                 # once val plateaus — set e.g. 1e-6 there)
     val_interval: float = 0.25
+    lr_schedule: str = "plateau"  # "plateau" (reference ReduceLROnPlateau,
+                                  # patience in EPOCHS) | "cosine" (half-
+                                  # cosine lr -> min_lr over `epochs`; the
+                                  # large-batch recipe — epoch-patience
+                                  # plateaus decay far too early when an
+                                  # epoch is only ~300 optimizer steps, see
+                                  # run_r3g.sh). cosine ignores early_stop.
     amp: bool = False
     seed: int = 42
     log_every: int = 50
@@ -62,6 +69,13 @@ class TrainConfig:
     tensorboard: bool = False   # mirror scalars to TensorBoard event files
                                 # (reference pl_loggers.TensorBoardLogger,
                                 # train.py:94); jsonl metrics always on
+
+
+def _cosine_lr(cfg: TrainConfig, epochs_done: int) -> float:
+    """Half-cosine from cfg.lr to cfg.min_lr across the epoch budget."""
+    frac = min(max(epochs_done / max(cfg.epochs, 1), 0.0), 1.0)
+    return cfg.min_lr + 0.5 * (cfg.lr - cfg.min_lr) * (
+        1.0 + float(np.cos(np.pi * frac)))
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -355,7 +369,8 @@ class Trainer:
                     self.mesh)
                 opt_state, meta = state
                 start_epoch = int(meta["epoch"]) + 1
-                lr = float(meta["lr"])
+                lr = (_cosine_lr(cfg, start_epoch)
+                      if cfg.lr_schedule == "cosine" else float(meta["lr"]))
                 plateau = ReduceLROnPlateau(
                     lr=lr, min_lr=cfg.min_lr,
                     best=float(meta.get("best_val", np.inf)),
@@ -406,6 +421,14 @@ class Trainer:
         def after_epoch(epoch):
             """Per-epoch plateau + early-stop step (Lightning cadence)."""
             nonlocal lr, best_lr, wait, stop
+            if cfg.lr_schedule == "cosine":
+                # deterministic half-cosine over the epoch budget; no
+                # val-driven decay, no lr-monitor early stop (lr decreases
+                # every epoch by construction)
+                lr = _cosine_lr(cfg, epoch + 1)
+                self._log({"event": "lr_epoch", "epoch": epoch, "lr": lr,
+                           "val_loss": last_val})
+                return
             if np.isnan(last_val):
                 return
             lr = plateau.update(last_val)

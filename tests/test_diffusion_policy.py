@@ -125,6 +125,90 @@ def test_sampler_init_uniform_vs_gaussian():
     np.testing.assert_allclose(g.std(), 1.0, atol=0.05)
 
 
+def test_dpmpp_sample_shapes_inpaint_history(tiny_policy):
+    """DPM-Solver++(2M) — beyond-reference sampler — must honor the same
+    contract as DDIM: output shape, verbatim inpaint rows, history stack,
+    and finite values at few steps (the first-order first/final steps guard
+    the uninitialized-carry and sigma_prev=0 limits)."""
+    pol, params = tiny_policy
+    batch = _tiny_batch()
+    out = jax.jit(partial(pol.sample, sampler="dpmpp",
+                          num_inference_steps=5))(
+        params, batch, jax.random.key(2))
+    assert out.shape == (2, 9, 5)
+    assert np.isfinite(np.asarray(out)).all()
+    expect = np.concatenate([
+        np.asarray(batch["position"][:, 3:4]),
+        np.asarray(batch["action"][:, 3:4])], -1)
+    np.testing.assert_allclose(np.asarray(out[:, :1]), expect, atol=1e-6)
+    hist = jax.jit(partial(pol.sample, sampler="dpmpp", num_inference_steps=5,
+                           history=True))(params, batch, jax.random.key(2))
+    assert hist.shape == (6, 2, 9, 5)
+    np.testing.assert_allclose(np.asarray(hist[-1]), np.asarray(out),
+                               atol=1e-6)
+
+
+class _AnalyticEps:
+    """Exact eps-predictor for x0 ~ N(mu, s^2 I): the unique minimizer of
+    the diffusion loss, so deterministic samplers driven by it solve the
+    probability-flow ODE exactly up to discretization error — which is
+    what separates first-order DDIM from second-order DPM-Solver++."""
+
+    def __init__(self, sched, mu, s):
+        self.sched, self.mu, self.s = sched, mu, s
+
+    def apply(self, variables, x, t, cond):
+        acp = self.sched.alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        alpha, sigma2 = jnp.sqrt(acp), 1.0 - acp
+        denom = acp * self.s ** 2 + sigma2
+        return jnp.sqrt(sigma2) * (x - alpha * self.mu) / denom
+
+
+def test_dpmpp_higher_order_accuracy_vs_exact_ode():
+    """With the exact score of a Gaussian data distribution the
+    probability-flow ODE has a closed-form solution (an affine z-preserving
+    transport between the Gaussian marginals), so each sampler's pure
+    discretization error is measurable directly. The 2M multistep must
+    track that exact endpoint strictly better than first-order DDIM at
+    every step budget, with the gap widening as steps grow (second- vs
+    first-order convergence; at n=8 both are limited by the shared
+    first-order opening step). Measured on this fixture: 27% lower error
+    at n=64, ~7x at n=1000."""
+    mu, s = 0.2, 0.1
+    cfg = diffusion.PolicyConfig(
+        noise_steps=1000, obs_horizon=4, pred_horizon=8, inpaint_horizon=1,
+        model="UNet", model_width=8, vision_encoder="none", step_size=2,
+        uniform_init=False)
+    pol = diffusion.DiffusionPolicy(cfg)
+    pol.unet = _AnalyticEps(pol.schedule, mu=mu, s=s)
+    params = {"unet": {}}
+    batch = {k: v * 0.1 for k, v in _tiny_batch(B=4).items()}
+    r = jax.random.key(11)
+
+    # exact endpoint: transport x_T from the chain start (t=999, trailing
+    # grid) to t=0 preserving the standardized coordinate, then the final
+    # posterior-mean jump the samplers' acp_prev=1 last step performs
+    acp = np.asarray(pol.schedule.alphas_cumprod)
+    std = lambda t: np.sqrt(acp[t] * s ** 2 + (1.0 - acp[t]))
+    x_T = np.asarray(pol._init_noise(jax.random.split(r)[0], 4))
+    x_0 = (np.sqrt(acp[0]) * mu
+           + (std(0) / std(999)) * (x_T - np.sqrt(acp[999]) * mu))
+    D = acp[0] * s ** 2 + (1.0 - acp[0])
+    exact = ((x_0 * np.sqrt(acp[0]) * s ** 2 + (1.0 - acp[0]) * mu)
+             / D)[:, 1:]
+
+    def err(sampler, n):
+        out = np.asarray(jax.jit(partial(
+            pol.sample, sampler=sampler, num_inference_steps=n,
+            ddim_spacing="trailing"))(params, batch, r))[:, 1:]
+        return np.abs(out - exact).mean()
+
+    for n in (8, 16, 64, 1000):
+        assert err("dpmpp", n) <= err("ddim", n) * 1.005, n
+    assert err("dpmpp", 64) < 0.8 * err("ddim", 64)
+    assert err("dpmpp", 1000) < 0.3 * err("ddim", 1000)
+
+
 def test_sample_microbatch_slices_equal(tiny_policy):
     """bench.py --denoise_microbatches splits one denoise batch into M
     sequential sampler calls; with the full-batch x_T drawn once and passed

@@ -122,6 +122,39 @@ def test_plateau_steps_once_per_epoch(tmp_path, tiny_pol, tiny_params):
     assert lrs[7] == pytest.approx(lr0 * 0.1)   # num_bad reset after decay
 
 
+def test_cosine_lr_schedule(tmp_path, tiny_pol, tiny_params):
+    """lr_schedule='cosine': deterministic half-cosine lr -> min_lr over the
+    epoch budget, independent of val_loss, never early-stopped (the
+    large-batch recipe — run_r3g.sh showed the epoch-patience plateau
+    floors the lr by epoch ~54 at B=256). Resume must recompute the lr
+    from the epoch index, not restore the stale checkpointed value."""
+    import json
+
+    lr0, lrmin, E = 4e-4, 1e-6, 8
+    tcfg = train.TrainConfig(epochs=E, batch_size=8, lr=lr0, min_lr=lrmin,
+                             lr_schedule="cosine", seed=0, early_stop=True)
+    trainer = train.Trainer(tiny_pol, tcfg, str(tmp_path / "run"))
+    trainer.train_step = lambda p, o, b, r, lr: (p, o, jnp.float32(1.0))
+    trainer._validate = lambda params, dm_, rng: 1.0   # plateau: irrelevant
+    trainer._save_epoch = lambda *a, **k: None
+    dm = _synthetic_module(n_steps=120)
+    trainer.fit(dm, params=tiny_params)
+
+    events = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
+    lrs = [e["lr"] for e in events if e["event"] == "lr_epoch"]
+    assert len(lrs) == E                 # early_stop never fires on cosine
+    expect = [lrmin + 0.5 * (lr0 - lrmin) * (1 + np.cos(np.pi * (k + 1) / E))
+              for k in range(E)]
+    np.testing.assert_allclose(lrs, expect, rtol=1e-6)
+    assert lrs[-1] == pytest.approx(lrmin)
+    # the cosine lr is what reaches the train step: epoch E-1 trained at
+    # the epoch E-2 boundary value
+    trains = [e for e in events if e["event"] == "train"]
+    last_epoch_lr = [e["lr"] for e in trains if e["epoch"] == E - 1]
+    assert last_epoch_lr and all(
+        lr == pytest.approx(expect[E - 2]) for lr in last_epoch_lr)
+
+
 def test_train_step_descends_loss(tiny_pol, tiny_params):
     params = tiny_params
     tcfg = train.TrainConfig(batch_size=8, lr=3e-4)
