@@ -359,6 +359,7 @@ class Trainer:
         lr = cfg.lr
         start_epoch = 0
         resume_wait = 0
+        resume_step = 0
         if resume:
             latest = ckpt_lib.latest_checkpoint(self.out_dir)
             state = ckpt_lib.load_train_state(self.out_dir,
@@ -376,7 +377,9 @@ class Trainer:
                     best=float(meta.get("best_val", np.inf)),
                     num_bad=int(meta.get("num_bad", 0)))
                 resume_wait = int(meta.get("es_wait", 0))
-                self._log({"event": "resume", "epoch": start_epoch, "lr": lr})
+                resume_step = int(meta.get("step", 0))
+                self._log({"event": "resume", "epoch": start_epoch, "lr": lr,
+                           "step": resume_step})
         host_rng = np.random.default_rng(cfg.seed + start_epoch)
 
         # pre-fit validation materializes the run dir + stats sidecar
@@ -387,8 +390,11 @@ class Trainer:
         ckpt_lib.save_hparams(self.out_dir, self.policy.config, cfg)
         self._log({"event": "pre_val", "val_loss": val_loss})
 
-        step_idx = 0
         n_train_batches = max(1, len(dm.train_idx) // cfg.batch_size)
+        # resumed runs continue the global step count (older sidecars lack
+        # "step": reconstruct from the epoch index so metrics.jsonl stays
+        # monotonic instead of restarting at 0)
+        step_idx = resume_step or start_epoch * n_train_batches
         val_every = max(1, int(n_train_batches * cfg.val_interval))
         history = {"train_loss": [], "val_loss": []}
         stop = False
@@ -501,7 +507,8 @@ class Trainer:
                 if epoch_losses else float("nan"))
             self._saver.submit(self._save_epoch, params, opt_state, epoch,
                                float(lr), float(plateau.best),
-                               int(plateau.num_bad), int(wait))
+                               int(plateau.num_bad), int(wait),
+                               int(step_idx))
             dt = time.time() - t0
             self._log({"event": "epoch", "epoch": epoch,
                        "train_loss": history["train_loss"][-1],
@@ -515,8 +522,9 @@ class Trainer:
                 "lr": lr}
 
     def _save_epoch(self, params, opt_state, epoch: int, lr: float,
-                    best_val: float, num_bad: int = 0, es_wait: int = 0):
+                    best_val: float, num_bad: int = 0, es_wait: int = 0,
+                    step: int = 0):
         ckpt_lib.save_checkpoint(self.out_dir, params, epoch)
         ckpt_lib.save_train_state(self.out_dir, opt_state, {
             "epoch": epoch, "lr": lr, "best_val": best_val,
-            "num_bad": num_bad, "es_wait": es_wait})
+            "num_bad": num_bad, "es_wait": es_wait, "step": step})

@@ -239,11 +239,21 @@ def test_trainer_resume(tmp_path, tiny_pol):
     assert len(out["history"]["train_loss"]) == 1
     assert train.checkpoints.latest_checkpoint(
         str(tmp_path / "run")).endswith("epoch=1")
-    # resume event logged
+    # resume event logged, and the global step count continues (metrics
+    # stay monotonic across resumes instead of restarting at 0)
     import json
-    events = [json.loads(l)["event"]
+    events = [json.loads(l)
               for l in open(tmp_path / "run" / "metrics.jsonl")]
-    assert "resume" in events
+    kinds = [e["event"] for e in events]
+    assert "resume" in kinds
+    resumed_vals = [e["step"] for e in events[kinds.index("resume"):]
+                    if e["event"] == "val"]
+    steps_per_epoch = len(dm.train_idx) // 8
+    assert resumed_vals
+    # every resumed val step continues past epoch 0's count and stays
+    # within epoch 1's range (no restart at 0, no double counting)
+    assert all(steps_per_epoch < s <= 2 * steps_per_epoch
+               for s in resumed_vals)
 
 
 def _one_device_mesh():
