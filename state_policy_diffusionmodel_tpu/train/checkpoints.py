@@ -50,8 +50,13 @@ def load_checkpoint(path: str, like=None):
     if like is None:
         raise ValueError("npz restore requires a template pytree")
     flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+    # npz snapshots may be stored downcast (tools/snapshot_run.py --dtype
+    # float16); restore at the template's dtype so downstream code sees
+    # the usual fp32 params
     return jax.tree_util.tree_unflatten(
-        treedef, [data[jax.tree_util.keystr(k)] for k, _ in flat])
+        treedef,
+        [np.asarray(data[jax.tree_util.keystr(k)], dtype=np.asarray(t).dtype)
+         for k, t in flat])
 
 
 def latest_checkpoint(out_dir: str) -> Optional[str]:

@@ -409,3 +409,31 @@ def test_sample_hook_writes_figures(tmp_path, tiny_pol, tiny_params):
     hook(params, step_idx=7)
     files = sorted(os.listdir(tmp_path / "samples"))
     assert files == ["step_0000007_actions.png", "step_0000007_positions.png"]
+
+
+def test_snapshot_npz_fp16_roundtrip(tmp_path):
+    """tools/snapshot_run.py exports the latest checkpoint as a downcast
+    params.npz that load_checkpoint restores at the TEMPLATE's dtype —
+    the host-reset insurance path for trained artifacts."""
+    import subprocess
+    import sys as _sys
+
+    params = {"w": np.linspace(-1, 1, 32, dtype=np.float32).reshape(4, 8),
+              "step": np.int32(7)}
+    run = tmp_path / "run"
+    train.checkpoints.save_checkpoint(str(run), params, epoch=3)
+    with open(run / "hparams.yaml", "w") as f:
+        f.write("obs_horizon: 4\n")
+    snap = tmp_path / "snap"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "snapshot_run.py"),
+         str(run), str(snap), "--dtype", "float16"],
+        check=True, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert os.path.exists(snap / "hparams.yaml")
+    ck = train.checkpoints.latest_checkpoint(str(snap))
+    assert ck.endswith("epoch=3")
+    restored = train.checkpoints.load_checkpoint(ck, like=params)
+    assert np.asarray(restored["w"]).dtype == np.float32
+    assert np.asarray(restored["step"]).dtype == np.int32
+    np.testing.assert_allclose(restored["w"], params["w"], atol=1e-3)
