@@ -131,8 +131,11 @@ def test_cosine_lr_schedule(tmp_path, tiny_pol, tiny_params):
     import json
 
     lr0, lrmin, E = 4e-4, 1e-6, 8
+    # log_every=1: the default 50 outruns this tiny run's ~15 steps/epoch,
+    # leaving no "train" event in the final epoch for the assertion below
     tcfg = train.TrainConfig(epochs=E, batch_size=8, lr=lr0, min_lr=lrmin,
-                             lr_schedule="cosine", seed=0, early_stop=True)
+                             lr_schedule="cosine", seed=0, early_stop=True,
+                             log_every=1)
     trainer = train.Trainer(tiny_pol, tcfg, str(tmp_path / "run"))
     trainer.train_step = lambda p, o, b, r, lr: (p, o, jnp.float32(1.0))
     trainer._validate = lambda params, dm_, rng: 1.0   # plateau: irrelevant
