@@ -17,21 +17,123 @@ policy (closed-loop DDIM-10 diffusion-policy rollout steps/sec).
 
 import argparse
 import json
+import os
+import signal
 import sys
+import threading
 import time
 from functools import partial
 
 import numpy as np
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+# ---------------------------------------------------------------------------
+# Partial-result safety net (VERDICT r3 item 1: the round-3 driver run timed
+# out inside compile+warmup and the round officially had NO perf number).
+# Every executed run — including the first one after AOT compilation — is
+# recorded here; a SIGTERM/SIGALRM handler and a deadline watchdog thread
+# both print the best-so-far JSON line if the process is about to die.
+# The watchdog matters because a SIGTERM that arrives while the main thread
+# is blocked inside an XLA C++ call (compile) is deferred until the call
+# returns — a thread is the only thing that can still write stdout then.
+# ---------------------------------------------------------------------------
+_PARTIAL = {"times": [], "fmt": None, "done": False, "printed": False}
+_PRINT_LOCK = threading.Lock()
+
+
+def _register_partial(fmt):
+    """fmt(times: list[float]) -> output dict for the final JSON line."""
+    _PARTIAL["fmt"] = fmt
+    _PARTIAL["times"] = []
+
+
+def _note_time(dt):
+    _PARTIAL["times"].append(dt)
+
+
+def _emit_partial(origin):
+    with _PRINT_LOCK:
+        if _PARTIAL["printed"] or _PARTIAL["done"]:
+            return False
+        if not _PARTIAL["times"] or _PARTIAL["fmt"] is None:
+            _log(f"[bench] {origin}: no completed run yet - nothing to emit")
+            return False
+        _PARTIAL["printed"] = True
+        out = _PARTIAL["fmt"](list(_PARTIAL["times"]))
+        out["partial"] = origin
+        print(json.dumps(out), flush=True)
+        return True
+
+
+def _on_term(signum, frame):
+    _emit_partial(f"signal {signum}")
+    os._exit(0)
+
+
+def _start_watchdog(deadline_s: float, t0: float):
+    def watch():
+        overdue = False
+        while not (_PARTIAL["done"] or _PARTIAL["printed"]):
+            left = (t0 + deadline_s) - time.monotonic()
+            if left > 0:
+                time.sleep(min(left, 1.0))
+                continue
+            if not overdue:
+                overdue = True
+                _log(f"[bench] deadline {deadline_s:.0f}s passed: will emit "
+                     "as soon as a clean measurement lands")
+            if _PARTIAL["times"]:
+                # A queue-stalled warmup can take minutes while the repeats
+                # after it take ~1 s — give the next (clean) run a 15 s
+                # grace window before publishing, so the emitted value is a
+                # real steady-state time, not the stall.
+                n0 = len(_PARTIAL["times"])
+                t_grace = time.monotonic() + 15.0
+                while (time.monotonic() < t_grace
+                       and len(_PARTIAL["times"]) == n0
+                       and not _PARTIAL["done"]):
+                    time.sleep(0.25)
+                if _emit_partial(f"deadline {deadline_s:.0f}s"):
+                    os._exit(0)
+                return
+            time.sleep(0.25)       # poll: emit the instant a run completes
+
+    threading.Thread(target=watch, daemon=True).start()
+
 
 def build_geoms(n_envs: int, n_unique: int, bake: bool):
-    import jax
     from state_policy_diffusionmodel_tpu import track as T
 
     tracks = [T.build(T.make_track(100 + i), bake=bake)
               for i in range(n_unique)]
     reps = [tracks[i % n_unique] for i in range(n_envs)]
     return T.stack(reps)
+
+
+def load_or_build_geoms(n_unique: int, bake: bool):
+    """Track-bank disk cache: `make_track` + `bake_texture` are ~1 s of host
+    numpy per track (15 s for the 16-track headline bank — the single
+    largest pre-compile cost in the round-3 driver timeout).  The bank is
+    deterministic per (seed, bake), so it is baked once into the repo
+    (.cache_tracks/, committed) and memory-mapped back in milliseconds."""
+    import jax.numpy as jnp
+    from state_policy_diffusionmodel_tpu import track as T
+
+    path = os.path.join(_REPO, ".cache_tracks",
+                        f"bank{n_unique}_{int(bake)}.npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            geoms = T.TrackGeometry(**{k: jnp.asarray(z[k])
+                                       for k in T.TrackGeometry._fields})
+        _log(f"[bench] loaded {n_unique}-track bank from {path}")
+        return geoms
+    geoms = build_geoms(n_unique, n_unique, bake)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, **{k: np.asarray(v)
+                                 for k, v in geoms._asdict().items()})
+    _log(f"[bench] built + cached {n_unique}-track bank -> {path}")
+    return geoms
 
 
 def _log(msg):
@@ -47,11 +149,19 @@ def bench_env(n_envs: int, n_steps: int, repeats: int, render: bool,
     from state_policy_diffusionmodel_tpu import track as T
     from state_policy_diffusionmodel_tpu.envs.vector import gather_geom
 
+    _register_partial(lambda times: {
+        "metric": ("env_render" if render else "env_only")
+                  + "_steps_per_sec_per_chip",
+        "value": round(n_envs * n_steps / min(times), 1),
+        "unit": f"env steps/s at {n_envs} envs"
+                + (" incl 96x96 render" if render else ""),
+        "vs_baseline": round(n_envs * n_steps / min(times) / 100_000.0, 3),
+    })
+
     t0 = time.perf_counter()
     # a bank of unique tracks indexed per env: 1024 envs sharing 16 tracks
     # costs 32 MB of texture HBM instead of 2 GB
-    geoms = T.stack([T.build(T.make_track(100 + i), bake=render)
-                     for i in range(n_unique_tracks)])
+    geoms = load_or_build_geoms(n_unique_tracks, bake=render)
     track_ids = jnp.arange(n_envs, dtype=jnp.int32) % n_unique_tracks
     _log(f"[bench] built {n_unique_tracks} tracks for {n_envs} envs "
          f"in {time.perf_counter() - t0:.1f}s")
@@ -84,26 +194,31 @@ def bench_env(n_envs: int, n_steps: int, repeats: int, render: bool,
             body, (states, jnp.float32(0.0)), None, length=n_steps)
         return states, chk
 
-    # compile + warmup.  NOTE: device->host value fetch, not just
-    # block_until_ready — the axon tunnel acks readiness before the remote
-    # computation finishes, so only a dependent transfer gives honest timing.
+    # AOT compile, separated from the first execution so that even the
+    # warmup run yields a timed measurement the partial-result safety net
+    # can emit if the driver's timeout strikes early.  NOTE: device->host
+    # value fetch, not just block_until_ready — the axon tunnel acks
+    # readiness before the remote computation finishes, so only a dependent
+    # transfer gives honest timing.
     t0 = time.perf_counter()
-    states, chk = run(states, geoms, track_ids, actions)
-    chk_val = float(chk)
-    _log(f"[bench] compile+warmup in {time.perf_counter() - t0:.1f}s "
-         f"(chk={chk_val:.3f})")
+    compiled = run.lower(states, geoms, track_ids, actions).compile()
+    _log(f"[bench] compile in {time.perf_counter() - t0:.1f}s")
 
     times = []
-    for _ in range(repeats):
+    for i in range(repeats + 1):       # +1: warmup, timed like the rest
         t0 = time.perf_counter()
-        states, chk = run(states, geoms, track_ids, actions)
+        states, chk = compiled(states, geoms, track_ids, actions)
         chk_val = float(chk)
-        times.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        if i == 0:
+            _log(f"[bench] warmup run in {dt:.3f}s (chk={chk_val:.3f})")
+        _note_time(dt)
+        times.append(dt)
     _log(f"[bench] times={['%.3f' % t for t in times]} chk={chk_val:.3f}")
     if profile_dir:
         from state_policy_diffusionmodel_tpu.utils import profiling
         with profiling.trace(profile_dir):
-            states, chk = run(states, geoms, track_ids, actions)
+            states, chk = compiled(states, geoms, track_ids, actions)
             float(chk)
         _log(f"[bench] jax.profiler trace written to {profile_dir}")
     best = min(times)
@@ -207,7 +322,7 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
     norm_batch, unnorm_actions = make_obs_normalizers(stats)
 
     n_unique = min(4, n_envs)
-    geoms = build_geoms(n_unique, n_unique, bake=True)
+    geoms = load_or_build_geoms(n_unique, bake=True)
     track_ids = jnp.arange(n_envs, dtype=jnp.int32) % n_unique
     states, res0 = envs.vector.reset_batch(geoms, render=True,
                                            track_ids=track_ids)
@@ -320,18 +435,29 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
             "action": jnp.zeros((n_envs, L_ring, 3)),
         }
 
+    _register_partial(lambda times: {
+        "metric": "closed_loop_policy_frames_per_sec",
+        "value": round(n_envs * n_frames / min(times), 1),
+        "unit": f"env frames/s ({sampler.upper()}-{num_inference_steps} "
+                "policy in loop)",
+        "vs_baseline": round(n_frames / min(times) / 50.0, 3),
+    })
     rollout = make_rollout(n_frames)
     hist = fresh_hist()
     rng = jax.random.key(0)
+    t0 = time.perf_counter()
     states, hist, rew = rollout(params, geoms, track_ids, states, hist, rng)
     float(rew.sum())  # fetch a VALUE: the tunnel acks block_until_ready early
+    _note_time(time.perf_counter() - t0)  # compile+warmup: emergency fallback
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         states, hist, rew = rollout(params, geoms, track_ids, states, hist,
                                     rng)
         float(rew.sum())
-        times.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        _note_time(dt)  # min() still picks real repeats over the warmup time
+        times.append(dt)
     if profile_dir:
         from state_policy_diffusionmodel_tpu.utils import profiling
         with profiling.trace(profile_dir):
@@ -370,10 +496,30 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
 
 
 def main():
-    # persistent compilation cache: round-over-round bench runs skip XLA
+    t_start = time.monotonic()
+    # Persistent compilation cache: DISABLED by default on purpose.  Round 4
+    # measurement on the axon tunnel: executing a cache-deserialized
+    # executable stalls the first run for 77 s - >6 min (one observed hang
+    # never completed), i.e. the server defers/redoes real compilation at
+    # first execution, while a plain cold compile is 14-70 s.  The round-3
+    # driver timeout (rc=124 after "reset in 5.3s") matches the
+    # deserialized-hang signature: /tmp/jax_bench_cache was warm on that
+    # host.  Opt back in explicitly with SPDM_BENCH_CACHE=<dir>.
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    cache_dir = os.environ.get("SPDM_BENCH_CACHE")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGALRM, _on_term)
+    # Deadline watchdog: if the driver's (unknown) timeout is about to kill
+    # us mid-run, emit whatever completed.  Round 1's successful run took
+    # ~95 s total and round 3 was killed somewhere past ~100 s, so 95 s is
+    # the largest provably-safe default; a warm-cache run finishes in ~35 s.
+    deadline = float(os.environ.get("SPDM_BENCH_DEADLINE", "95"))
+    if deadline > 0:
+        _start_watchdog(deadline, t_start)
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="env_render",
@@ -464,7 +610,10 @@ def main():
                     + (" incl 96x96 render" if render else ""),
             "vs_baseline": round(value / 100_000.0, 3),
         }
-    print(json.dumps(out))
+    with _PRINT_LOCK:
+        if not _PARTIAL["printed"]:
+            _PARTIAL["done"] = True
+            print(json.dumps(out))
 
 
 if __name__ == "__main__":

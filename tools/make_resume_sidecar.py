@@ -36,7 +36,23 @@ def params_from_npz(npz_path: str):
         node = params
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = np.asarray(data[key], dtype=np.float32)
+        v = np.asarray(data[key])
+        # fp16 insurance snapshots upcast; non-floating leaves pass through
+        # unchanged (mirrors snapshot_run.py's cast())
+        if np.issubdtype(v.dtype, np.floating):
+            v = v.astype(np.float32)
+        node[parts[-1]] = v
+    # The keystr regex only understands dict keys; a list/tuple/attr node
+    # would produce segments ([0], .attr) it silently drops, collapsing
+    # distinct leaves.  Verify the rebuilt tree round-trips to the exact
+    # npz key set so that failure mode is loud, not a corrupt template.
+    import jax
+    rebuilt = {jax.tree_util.keystr(kp)
+               for kp, _ in jax.tree_util.tree_flatten_with_path(params)[0]}
+    if rebuilt != set(data.keys()):
+        raise SystemExit(
+            "snapshot keystrs contain non-dict pytree nodes the rebuilder "
+            f"cannot represent: {sorted(set(data.keys()) - rebuilt)[:5]} ...")
     return params
 
 
@@ -47,6 +63,12 @@ def main():
     ap.add_argument("--lr", type=float, default=None,
                     help="lr to resume at (plateau runs; cosine ignores it)")
     ap.add_argument("--best_val", type=float, default=None)
+    ap.add_argument("--force", action="store_true",
+                    help="overwrite an existing trainer_state sidecar (it may "
+                         "hold REAL optimizer moments from the original run)")
+    ap.add_argument("--initial_lr_ok", action="store_true",
+                    help="plateau runs: explicitly accept resuming at the "
+                         "undecayed initial lr when --lr is omitted")
     args = ap.parse_args()
 
     import jax
@@ -60,6 +82,21 @@ def main():
             "epochs", "batch_size", "lr", "grad_clip", "min_lr",
             "val_interval", "lr_schedule", "amp", "seed", "device_data",
             "early_stop") if f"train_{k}" in hp})
+
+    if tcfg.lr_schedule != "cosine" and args.lr is None \
+            and not args.initial_lr_ok:
+        raise SystemExit(
+            f"run uses lr_schedule={tcfg.lr_schedule!r}: resuming without "
+            f"--lr would silently restart at the undecayed initial lr "
+            f"({tcfg.lr}) with reset plateau/early-stop state.  Pass --lr "
+            "<last known lr> (see the run's metrics jsonl) or "
+            "--initial_lr_ok to accept the initial lr.")
+    existing = os.path.join(args.run_dir, "trainer_state", "meta.yaml")
+    if os.path.exists(existing) and not args.force:
+        raise SystemExit(
+            f"{existing} already exists — it may hold real optimizer "
+            "moments from the original run (npz-fallback training writes "
+            "both).  Pass --force to overwrite with fresh moments.")
 
     latest = C.latest_checkpoint(args.run_dir)
     if latest is None:
