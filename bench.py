@@ -266,7 +266,8 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
                  profile_dir: str | None = None, run_dir: str | None = None,
                  metrics_frames: int = 0, ddim_spacing: str = "leading",
                  gaussian_init: bool = False, denoise_microbatches: int = 1,
-                 num_inference_steps: int = 10, sampler: str = "ddim"):
+                 num_inference_steps: int = 10, sampler: str = "ddim",
+                 ema: bool = False):
     """Closed-loop diffusion policy: envs step at 50 Hz sim time; every
     `step_size` frames the policy denoises (DDIM-10) from the rolling obs
     window and commits the next actions — all inside one jit.  amp=True
@@ -308,9 +309,12 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
         pol = diffusion.DiffusionPolicy(cfg)
         tmpl = pol.init_params(jax.random.key(0))
         params = train.checkpoints.load_checkpoint(
-            train.checkpoints.latest_checkpoint(run_dir), tmpl)
+            train.checkpoints.latest_checkpoint(
+                run_dir,
+                subdir="checkpoints_ema" if ema else "checkpoints"), tmpl)
         stats = load_stats(os.path.join(run_dir, "STATS.pkl"))
-        _log(f"[bench] loaded trained policy from {run_dir}")
+        _log(f"[bench] loaded trained policy from {run_dir}"
+             + (" (EMA weights)" if ema else ""))
     else:
         cfg = diffusion.PolicyConfig(
             noise_steps=1000, obs_horizon=10, pred_horizon=30,
@@ -513,13 +517,6 @@ def main():
 
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGALRM, _on_term)
-    # Deadline watchdog: if the driver's (unknown) timeout is about to kill
-    # us mid-run, emit whatever completed.  Round 1's successful run took
-    # ~95 s total and round 3 was killed somewhere past ~100 s, so 95 s is
-    # the largest provably-safe default; a warm-cache run finishes in ~35 s.
-    deadline = float(os.environ.get("SPDM_BENCH_DEADLINE", "95"))
-    if deadline > 0:
-        _start_watchdog(deadline, t_start)
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="env_render",
@@ -564,11 +561,24 @@ def main():
                     choices=["ddim", "dpmpp"],
                     help="policy mode in-loop sampler; dpmpp = "
                          "DPM-Solver++(2M), second-order multistep")
+    ap.add_argument("--ema", action="store_true",
+                    help="policy mode: load EMA weights (checkpoints_ema/) "
+                         "from --run_dir instead of the raw params")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes for CPU smoke testing")
     args = ap.parse_args()
     if args.envs is None:
         args.envs = 256 if args.mode == "policy" else 1024
+
+    # Deadline watchdog: if the driver's (unknown) timeout is about to kill
+    # us mid-run, emit whatever completed.  Round 1's successful driver run
+    # took ~95 s total and round 3 was killed somewhere past ~100 s, so 95 s
+    # is the largest provably-safe default for the driver's env_render
+    # invocation; other modes are interactive and default to no deadline.
+    default_deadline = "95" if args.mode == "env_render" else "0"
+    deadline = float(os.environ.get("SPDM_BENCH_DEADLINE", default_deadline))
+    if deadline > 0:
+        _start_watchdog(deadline, t_start)
 
     if args.smoke:
         args.envs, args.steps, args.repeats = 8, 20, 1
@@ -586,7 +596,7 @@ def main():
             gaussian_init=args.gaussian_init,
             denoise_microbatches=args.denoise_microbatches,
             num_inference_steps=args.num_inference_steps,
-            sampler=args.sampler,
+            sampler=args.sampler, ema=args.ema,
             metrics_frames=metrics_frames)
         # real time = 50 sim frames per wall second per env
         realtime_factor = value / (50.0 * args.envs)

@@ -29,6 +29,9 @@ def main():
                    help="dpmpp = DPM-Solver++(2M), second-order multistep: "
                         "lower error than DDIM at equal steps, same cost")
     p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--ema", action="store_true",
+                   help="load the EMA weights (checkpoints_ema/, runs "
+                        "trained with --ema_decay) instead of raw params")
     p.add_argument("--gaussian_init", action="store_true",
                    help="init reverse diffusion from N(0,1) instead of the "
                         "reference's uniform-[0,1) quirk (large accuracy "
@@ -61,7 +64,9 @@ def main():
     policy = diffusion.DiffusionPolicy(cfg)
     tmpl = policy.init_params(jax.random.key(0))
     params = train.checkpoints.load_checkpoint(
-        train.checkpoints.latest_checkpoint(args.run_dir), tmpl)
+        train.checkpoints.latest_checkpoint(
+            args.run_dir,
+            subdir="checkpoints_ema" if args.ema else "checkpoints"), tmpl)
     stats = load_stats(os.path.join(args.run_dir, "STATS.pkl"))
 
     dm = DataModule(batch_size=1, data_dir=args.dataset_dir,

@@ -27,6 +27,9 @@ def main():
     p.add_argument("--num_inference_steps", type=int, default=10)
     p.add_argument("--ddim_spacing", default="leading",
                    choices=["leading", "trailing"])
+    p.add_argument("--ema", action="store_true",
+                   help="load the EMA weights (checkpoints_ema/, runs "
+                        "trained with --ema_decay) instead of raw params")
     p.add_argument("--gaussian_init", action="store_true",
                    help="N(0,1) sampler init instead of the reference quirk")
     p.add_argument("--drive", default="pid", choices=["pid", "policy"],
@@ -60,7 +63,9 @@ def main():
     policy = diffusion.DiffusionPolicy(cfg)
     tmpl = policy.init_params(jax.random.key(0))
     params = train.checkpoints.load_checkpoint(
-        train.checkpoints.latest_checkpoint(args.run_dir), tmpl)
+        train.checkpoints.latest_checkpoint(
+            args.run_dir,
+            subdir="checkpoints_ema" if args.ema else "checkpoints"), tmpl)
     stats = load_stats(os.path.join(args.run_dir, "STATS.pkl"))
 
     geom = T.build(T.make_track(args.track_seed))

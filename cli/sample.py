@@ -20,6 +20,9 @@ def main():
     p.add_argument("--num_inference_steps", type=int, default=100)
     p.add_argument("--ddim_spacing", default="leading",
                    choices=["leading", "trailing"])
+    p.add_argument("--ema", action="store_true",
+                   help="load the EMA weights (checkpoints_ema/, runs "
+                        "trained with --ema_decay) instead of raw params")
     p.add_argument("--gaussian_init", action="store_true",
                    help="N(0,1) sampler init instead of the reference quirk")
     p.add_argument("--ddim_compat_100", action="store_true",
@@ -48,7 +51,9 @@ def main():
         cfg = dataclasses.replace(cfg, uniform_init=False)
     policy = diffusion.DiffusionPolicy(cfg)
     tmpl = policy.init_params(jax.random.key(0))
-    ckpt = train.checkpoints.latest_checkpoint(args.run_dir)
+    ckpt = train.checkpoints.latest_checkpoint(
+            args.run_dir,
+            subdir="checkpoints_ema" if args.ema else "checkpoints")
     params = train.checkpoints.load_checkpoint(ckpt, tmpl)
     stats = load_stats(os.path.join(args.run_dir, "STATS.pkl"))
 

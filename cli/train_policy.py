@@ -48,6 +48,15 @@ def parse_arguments():
                         "indices shard over the data axis")
     p.add_argument("--no_early_stop", action="store_true",
                    help="disable the reference's lr-monitor early stopping")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="> 0: maintain an EMA of the params (per optimizer "
+                        "step), saved under checkpoints_ema/; evaluate with "
+                        "the downstream CLIs' --ema flag. 0.999 is a good "
+                        "default for large-batch runs")
+    p.add_argument("--insurance_dir", default=None,
+                   help="write a small fp16 best-val params snapshot (+ "
+                        "hparams/STATS) into this dir whenever val improves "
+                        "— host-reset insurance outside tb_logs")
     p.add_argument("--tensorboard", action="store_true",
                    help="also mirror metrics to TensorBoard event files")
     p.add_argument("--seed", type=int, default=42)
@@ -94,7 +103,8 @@ def main():
         min_lr=args.min_lr, lr_schedule=args.lr_schedule,
         amp=args.amp, seed=args.seed,
         device_data=args.device_data,
-        early_stop=not args.no_early_stop, tensorboard=args.tensorboard)
+        early_stop=not args.no_early_stop, tensorboard=args.tensorboard,
+        ema_decay=args.ema_decay, insurance_dir=args.insurance_dir)
     print_hyperparameters(cfg, tcfg)
 
     dm = DataModule(batch_size=args.batch_size, data_dir=args.dataset_dir,

@@ -16,7 +16,8 @@
 set -euo pipefail
 cd "$(dirname "$0")"
 export PYTHONPATH=/root/repo:/root/.axon_site
-export JAX_COMPILATION_CACHE_DIR=/tmp/jax_bench_cache
+# NOTE: no persistent compile cache — executing cache-deserialized
+# executables over the axon tunnel stalls/hangs (round-4 finding, bench.py)
 
 RUN=${1:-r3h}
 DATA_DIR=./data/r3

@@ -24,12 +24,14 @@ except Exception:  # pragma: no cover
     ocp = None
 
 
-def checkpoint_dir(out_dir: str, epoch: int) -> str:
-    return os.path.join(out_dir, "checkpoints", f"epoch={epoch}")
+def checkpoint_dir(out_dir: str, epoch: int,
+                   subdir: str = "checkpoints") -> str:
+    return os.path.join(out_dir, subdir, f"epoch={epoch}")
 
 
-def save_checkpoint(out_dir: str, params, epoch: int) -> str:
-    path = checkpoint_dir(out_dir, epoch)
+def save_checkpoint(out_dir: str, params, epoch: int,
+                    subdir: str = "checkpoints") -> str:
+    path = checkpoint_dir(out_dir, epoch, subdir)
     if ocp is not None:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(os.path.abspath(path), jax.device_get(params), force=True)
@@ -59,8 +61,9 @@ def load_checkpoint(path: str, like=None):
          for k, t in flat])
 
 
-def latest_checkpoint(out_dir: str) -> Optional[str]:
-    root = os.path.join(out_dir, "checkpoints")
+def latest_checkpoint(out_dir: str,
+                      subdir: str = "checkpoints") -> Optional[str]:
+    root = os.path.join(out_dir, subdir)
     if not os.path.isdir(root):
         return None
     epochs = []
@@ -72,7 +75,7 @@ def latest_checkpoint(out_dir: str) -> Optional[str]:
                 pass
     if not epochs:
         return None
-    return checkpoint_dir(out_dir, max(epochs))
+    return checkpoint_dir(out_dir, max(epochs), subdir)
 
 
 def save_train_state(out_dir: str, opt_state, meta: Dict[str, Any]) -> str:

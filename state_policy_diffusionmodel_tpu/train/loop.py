@@ -66,6 +66,20 @@ class TrainConfig:
     early_stop: bool = True     # reference EarlyStopping(monitor='lr'):
                                 # stop when lr decays below 1e-4, or after
                                 # epochs//10 val checks without lr decrease
+    ema_decay: float = 0.0      # > 0: maintain an exponential moving
+                                # average of params (updated every optimizer
+                                # step, inside the fused scan), saved per
+                                # epoch under checkpoints_ema/ — the
+                                # standard diffusion-training stabilizer
+                                # (the reference has none; large-batch runs
+                                # need it, see RESULTS_r3.md r3g/r3h)
+    insurance_dir: Optional[str] = None
+                                # when set: every time the epoch-level val
+                                # loss improves, write a small fp16 npz
+                                # snapshot of the (EMA if enabled) params +
+                                # hparams/STATS into this directory —
+                                # host-reset insurance outside the tb_logs
+                                # scratch tree (VERDICT r3 weak-7)
     tensorboard: bool = False   # mirror scalars to TensorBoard event files
                                 # (reference pl_loggers.TensorBoardLogger,
                                 # train.py:94); jsonl metrics always on
@@ -85,8 +99,20 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     )
 
 
-def make_train_step(policy: DiffusionPolicy, optimizer, amp: bool = False):
-    """Returns a jitted (params, opt_state, batch, rng, lr) -> ... step."""
+def ema_update(ema, params, decay: float):
+    """One EMA step: ema <- decay*ema + (1-decay)*params."""
+    d = jnp.float32(decay)
+    return jax.tree.map(lambda e, p: e * d + p * (1.0 - d), ema, params)
+
+
+def make_train_step(policy: DiffusionPolicy, optimizer, amp: bool = False,
+                    ema_decay: float = 0.0):
+    """Returns a jitted (params, opt_state, batch, rng, lr) -> ... step.
+
+    With ema_decay > 0 the signature gains an `ema` pytree after `params`
+    (updated every optimizer step) — kept out of the default signature so
+    existing callers (mfu harness, graft entry, tests) stay source-stable.
+    """
 
     def loss_fn(params, batch, rng):
         if amp:
@@ -95,6 +121,18 @@ def make_train_step(policy: DiffusionPolicy, optimizer, amp: bool = False):
                      for k, v in batch.items()}
         loss = policy.loss(params, batch, rng)
         return loss.astype(jnp.float32)
+
+    if ema_decay > 0.0:
+        @jax.jit
+        def step_ema(params, ema, opt_state, batch, rng, lr):
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+            opt_state[1].hyperparams["learning_rate"] = lr
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            ema = ema_update(ema, params, ema_decay)
+            return params, ema, opt_state, loss
+
+        return step_ema
 
     @jax.jit
     def step(params, opt_state, batch, rng, lr):
@@ -168,8 +206,10 @@ class Trainer:
                 f"device_data needs batch_size ({self.config.batch_size}) "
                 f"divisible by the mesh size ({self.mesh.devices.size})")
         self.optimizer = make_optimizer(self.config)
+        self._ema_on = self.config.ema_decay > 0.0
         self.train_step = make_train_step(self.policy, self.optimizer,
-                                          self.config.amp)
+                                          self.config.amp,
+                                          self.config.ema_decay)
         self.eval_step = make_eval_step(self.policy)
         self._saver = _AsyncSaver()
         os.makedirs(self.out_dir, exist_ok=True)
@@ -290,17 +330,23 @@ class Trainer:
         # a closed-over device array would be inlined into the lowered HLO
         # as a literal and shipped with every remote compile (HTTP 413 on
         # large datasets; see data/dataset.py).
+        ema_on = self._ema_on
+
         @partial(jax.jit, out_shardings=rep)
-        def run_train_chunk(params, opt_state, idx_chunk, rng, lr, data):
+        def run_train_chunk(params, ema, opt_state, idx_chunk, rng, lr, data):
             def body(carry, idx):
-                params, opt_state, rng = carry
+                params, ema, opt_state, rng = carry
                 rng, sub = jax.random.split(rng)
-                params, opt_state, loss = train_step(
-                    params, opt_state, batch_fn(data, idx), sub, lr)
-                return (params, opt_state, rng), loss
-            (params, opt_state, rng), losses = jax.lax.scan(
-                body, (params, opt_state, rng), idx_chunk)
-            return params, opt_state, rng, losses
+                if ema_on:   # EMA updated per optimizer step, inside the scan
+                    params, ema, opt_state, loss = train_step(
+                        params, ema, opt_state, batch_fn(data, idx), sub, lr)
+                else:
+                    params, opt_state, loss = train_step(
+                        params, opt_state, batch_fn(data, idx), sub, lr)
+                return (params, ema, opt_state, rng), loss
+            (params, ema, opt_state, rng), losses = jax.lax.scan(
+                body, (params, ema, opt_state, rng), idx_chunk)
+            return params, ema, opt_state, rng, losses
 
         @partial(jax.jit, out_shardings=rep)
         def run_val(params, idx_chunks, rng, data):
@@ -354,6 +400,9 @@ class Trainer:
             params = self.policy.init_params(init_rng)
         params = replicate(params, self.mesh)
         opt_state = self.optimizer.init(params)
+        # EMA starts as a copy of the initial params (bias toward init decays
+        # with decay^step; standard practice, no warmup correction)
+        ema = jax.tree.map(jnp.copy, params) if self._ema_on else None
 
         plateau = ReduceLROnPlateau(lr=cfg.lr, min_lr=cfg.min_lr)
         lr = cfg.lr
@@ -368,6 +417,13 @@ class Trainer:
                 params = replicate(
                     ckpt_lib.load_checkpoint(latest, jax.device_get(params)),
                     self.mesh)
+                if self._ema_on:
+                    latest_ema = ckpt_lib.latest_checkpoint(
+                        self.out_dir, subdir="checkpoints_ema")
+                    ema = (replicate(ckpt_lib.load_checkpoint(
+                        latest_ema, jax.device_get(ema)), self.mesh)
+                        if latest_ema is not None
+                        else jax.tree.map(jnp.copy, params))
                 opt_state, meta = state
                 start_epoch = int(meta["epoch"]) + 1
                 lr = (_cosine_lr(cfg, start_epoch)
@@ -405,6 +461,7 @@ class Trainer:
         best_lr, wait = float("inf"), resume_wait
 
         last_val = float("nan")
+        best_insured = float("inf")
 
         def after_val(step_idx, val_loss):
             """Quarter-epoch validation: log + sample figures ONLY.
@@ -463,8 +520,8 @@ class Trainer:
                 for c0 in range(0, len(batches), val_every):
                     chunk = jax.device_put(batches[c0:c0 + val_every],
                                            self._idx_sharding(True))
-                    params, opt_state, rng, losses = run_chunk(
-                        params, opt_state, chunk, rng, jnp.asarray(lr),
+                    params, ema, opt_state, rng, losses = run_chunk(
+                        params, ema, opt_state, chunk, rng, jnp.asarray(lr),
                         dev_data)
                     losses = np.asarray(losses)       # one sync per chunk
                     epoch_losses.extend(np.float32(l) for l in losses)
@@ -483,8 +540,13 @@ class Trainer:
                 for batch in self._batches(dm, dm.train_idx, True, host_rng,
                                            True):
                     rng, sub = jax.random.split(rng)
-                    params, opt_state, loss = self.train_step(
-                        params, opt_state, batch, sub, jnp.asarray(lr))
+                    if self._ema_on:
+                        params, ema, opt_state, loss = self.train_step(
+                            params, ema, opt_state, batch, sub,
+                            jnp.asarray(lr))
+                    else:
+                        params, opt_state, loss = self.train_step(
+                            params, opt_state, batch, sub, jnp.asarray(lr))
                     step_idx += 1
                     epoch_step += 1
                     # device array: host syncs only at log/val/epoch
@@ -505,10 +567,15 @@ class Trainer:
             history["train_loss"].append(
                 float(jnp.mean(jnp.stack(epoch_losses)))
                 if epoch_losses else float("nan"))
-            self._saver.submit(self._save_epoch, params, opt_state, epoch,
-                               float(lr), float(plateau.best),
+            improved = (np.isfinite(last_val)
+                        and last_val < best_insured - 1e-12)
+            if improved:
+                best_insured = last_val
+            self._saver.submit(self._save_epoch, params, ema, opt_state,
+                               epoch, float(lr), float(plateau.best),
                                int(plateau.num_bad), int(wait),
-                               int(step_idx))
+                               int(step_idx),
+                               last_val if improved else None)
             dt = time.time() - t0
             self._log({"event": "epoch", "epoch": epoch,
                        "train_loss": history["train_loss"][-1],
@@ -518,13 +585,50 @@ class Trainer:
                            len(epoch_losses) * cfg.batch_size / max(dt, 1e-9)})
 
         self._saver.wait()
-        return {"params": params, "opt_state": opt_state, "history": history,
-                "lr": lr}
+        return {"params": params, "ema": ema, "opt_state": opt_state,
+                "history": history, "lr": lr}
 
-    def _save_epoch(self, params, opt_state, epoch: int, lr: float,
+    def _save_epoch(self, params, ema, opt_state, epoch: int, lr: float,
                     best_val: float, num_bad: int = 0, es_wait: int = 0,
-                    step: int = 0):
+                    step: int = 0, improved_val: Optional[float] = None):
         ckpt_lib.save_checkpoint(self.out_dir, params, epoch)
+        if ema is not None:
+            ckpt_lib.save_checkpoint(self.out_dir, ema, epoch,
+                                     subdir="checkpoints_ema")
         ckpt_lib.save_train_state(self.out_dir, opt_state, {
             "epoch": epoch, "lr": lr, "best_val": best_val,
             "num_bad": num_bad, "es_wait": es_wait, "step": step})
+        if improved_val is not None and self.config.insurance_dir:
+            self._save_insurance(ema if ema is not None else params,
+                                 epoch, improved_val)
+
+    def _save_insurance(self, params, epoch: int, val_loss: float):
+        """fp16 flat-npz snapshot of the current best params OUTSIDE the
+        tb_logs scratch tree (host-reset insurance, VERDICT r3 weak-7).
+        Overwrites in place; the sidecar files make it directly loadable by
+        every downstream CLI (load_checkpoint npz path + make_resume_sidecar
+        for resumption)."""
+        import shutil
+
+        d = self.config.insurance_dir
+        os.makedirs(os.path.join(d, "checkpoints", f"epoch={epoch}"),
+                    exist_ok=True)
+        flat = jax.tree_util.tree_flatten_with_path(jax.device_get(params))[0]
+        np.savez(os.path.join(d, "checkpoints", f"epoch={epoch}",
+                              "params.npz"),
+                 **{jax.tree_util.keystr(k):
+                    (np.asarray(v).astype(np.float16)
+                     if np.issubdtype(np.asarray(v).dtype, np.floating)
+                     else np.asarray(v)) for k, v in flat})
+        # keep only the newest best (insurance, not history)
+        root = os.path.join(d, "checkpoints")
+        for name in os.listdir(root):
+            if name.startswith("epoch=") and name != f"epoch={epoch}":
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        for side in ("hparams.yaml", "STATS.pkl"):
+            src = os.path.join(self.out_dir, side)
+            if os.path.exists(src):
+                shutil.copy2(src, os.path.join(d, side))
+        with open(os.path.join(d, "BEST.json"), "w") as f:
+            json.dump({"epoch": epoch, "val_loss": float(val_loss),
+                       "ema": self._ema_on}, f)

@@ -440,3 +440,82 @@ def test_snapshot_npz_fp16_roundtrip(tmp_path):
     assert np.asarray(restored["w"]).dtype == np.float32
     assert np.asarray(restored["step"]).dtype == np.int32
     np.testing.assert_allclose(restored["w"], params["w"], atol=1e-3)
+
+
+def test_ema_step_matches_manual_recurrence(tiny_pol, tiny_params):
+    """make_train_step(ema_decay=d) must produce the same params trajectory
+    as the plain step (same rng/batch) and an EMA equal to the manual
+    recurrence ema <- d*ema + (1-d)*params applied per optimizer step."""
+    tcfg = train.TrainConfig(batch_size=8, lr=3e-4)
+    opt = train.make_optimizer(tcfg)
+    d = 0.75
+
+    dm = _synthetic_module()
+    batch = next(iter(dm.train_batches(np.random.default_rng(0))))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    step_plain = train.make_train_step(tiny_pol, opt)
+    step_ema = train.make_train_step(tiny_pol, opt, ema_decay=d)
+
+    p_a, o_a = tiny_params, opt.init(tiny_params)
+    p_b, o_b = tiny_params, opt.init(tiny_params)
+    ema = jax.tree.map(jnp.copy, tiny_params)
+    ema_manual = jax.tree.map(np.asarray, tiny_params)
+    rng = jax.random.key(1)
+    for _ in range(3):
+        rng, sub = jax.random.split(rng)
+        p_a, o_a, loss_a = step_plain(p_a, o_a, batch, sub, jnp.asarray(3e-4))
+        p_b, ema, o_b, loss_b = step_ema(p_b, ema, o_b, batch, sub,
+                                         jnp.asarray(3e-4))
+        assert float(loss_a) == float(loss_b)
+        ema_manual = jax.tree.map(
+            lambda e, p: e * d + np.asarray(p) * (1 - d), ema_manual, p_a)
+    # identical params trajectory, EMA == manual recurrence
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), p_a, p_b)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7), ema, ema_manual)
+    # EMA lags the raw params (it still remembers the init)
+    diffs = jax.tree_util.tree_leaves(jax.tree.map(
+        lambda e, p: float(np.abs(np.asarray(e) - np.asarray(p)).max()),
+        ema, p_b))
+    assert max(diffs) > 0
+
+
+@pytest.mark.slow
+def test_trainer_ema_and_insurance(tmp_path, tiny_pol):
+    """Trainer with ema_decay saves checkpoints_ema/ (loadable, different
+    from raw) and drops a best-val fp16 insurance snapshot + BEST.json."""
+    import json as _json
+
+    ins = tmp_path / "insurance"
+    tcfg = train.TrainConfig(epochs=2, batch_size=8, lr=3e-4, seed=0,
+                             early_stop=False, device_data=True,
+                             ema_decay=0.9, insurance_dir=str(ins))
+    trainer = train.Trainer(tiny_pol, tcfg, str(tmp_path / "run"),
+                            mesh=_one_device_mesh())
+    dm = _synthetic_module(n_steps=120)
+    out = trainer.fit(dm)
+    assert out["ema"] is not None
+    raw_ck = train.checkpoints.latest_checkpoint(str(tmp_path / "run"))
+    ema_ck = train.checkpoints.latest_checkpoint(
+        str(tmp_path / "run"), subdir="checkpoints_ema")
+    assert raw_ck is not None and ema_ck is not None
+    tmpl = jax.device_get(out["params"])
+    raw = train.checkpoints.load_checkpoint(raw_ck, tmpl)
+    ema = train.checkpoints.load_checkpoint(ema_ck, tmpl)
+    deltas = jax.tree_util.tree_leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        raw, ema))
+    assert max(deltas) > 0            # EMA genuinely lags the raw params
+    # insurance snapshot: fp16 npz + sidecars + BEST.json
+    best = _json.load(open(ins / "BEST.json"))
+    assert best["ema"] is True and np.isfinite(best["val_loss"])
+    ins_ck = train.checkpoints.latest_checkpoint(str(ins))
+    assert ins_ck is not None and os.path.exists(
+        os.path.join(ins_ck, "params.npz"))
+    restored = train.checkpoints.load_checkpoint(ins_ck, like=tmpl)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=2e-2), restored, ema)
+    assert os.path.exists(ins / "hparams.yaml")
+    assert os.path.exists(ins / "STATS.pkl")
