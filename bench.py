@@ -226,40 +226,13 @@ def bench_env(n_envs: int, n_steps: int, repeats: int, render: bool,
 
 
 def make_obs_normalizers(stats):
-    """(norm_batch, unnorm_actions) closures for a closed-loop rollout.
+    """Shared with the multi-chip closed loop — see
+    diffusion/closed_loop.py (lazy import: bench must not touch jax
+    before main() decides the compile-cache configuration)."""
+    from state_policy_diffusionmodel_tpu.diffusion.closed_loop import (
+        make_obs_normalizers as impl)
 
-    norm_batch applies the training-time normalization of
-    data/dataset.py:get_window to a rolling obs window dict of RAW values
-    {image_features, position, velocity, action} (each (B, T_obs, ...)):
-    min-max velocity/action to [-1,1], position min-max then centered on the
-    window's first frame and halved.  unnorm_actions maps the sampler's
-    normalized action output back to env units.  stats=None -> identity
-    (random-init throughput runs)."""
-    if stats is None:
-        return (lambda hist: hist), (lambda a: a)
-    pmin = float(np.min(stats["position"]["min"]))
-    pmax = float(np.max(stats["position"]["max"]))
-    prng = (pmax - pmin) or 1.0
-    vlo = np.asarray(stats["velocity"]["min"], np.float32)
-    vrng = np.asarray(stats["velocity"]["max"], np.float32) - vlo
-    vrng = np.where(vrng == 0, 1.0, vrng)
-    alo = np.asarray(stats["action"]["min"], np.float32)
-    arng = np.asarray(stats["action"]["max"], np.float32) - alo
-    arng = np.where(arng == 0, 1.0, arng)
-
-    def norm_batch(hist):
-        sn = (hist["position"] - pmin) / prng * 2.0 - 1.0
-        return {
-            "image_features": hist["image_features"],
-            "position": (sn - sn[:, 0:1]) / 2.0,
-            "velocity": (hist["velocity"] - vlo) / vrng * 2.0 - 1.0,
-            "action": (hist["action"] - alo) / arng * 2.0 - 1.0,
-        }
-
-    def unnorm_actions(a):
-        return (a + 1.0) / 2.0 * arng + alo
-
-    return norm_batch, unnorm_actions
+    return impl(stats)
 
 
 def bench_policy(n_envs: int, repeats: int, amp: bool = True,

@@ -122,6 +122,81 @@ def rollout_policy(states, geoms, policy: Callable, carry,
     return states, carry, traj
 
 
+def rollout_policy_sharded(mesh, params, geoms, policy: Callable, carry,
+                           n_steps: int, render: bool = True,
+                           auto_reset: bool = True, track_ids=None):
+    """Multi-chip closed-loop policy rollout: envs and the policy's carry
+    (observation rings, action queues, ...) sharded over the mesh's `data`
+    axis, model params and the track bank replicated on every chip.  The
+    denoiser runs per-chip on its local env shard inside shard_map — no
+    collectives are needed (the policy loop is embarrassingly parallel;
+    only training reduces over ICI).
+
+    policy(params, carry, states, prev_res) -> ((B, 3) actions, carry).
+    Every carry leaf must be per-env (leading batch axis) so it shards
+    alongside the env states; broadcast any scalar state (frame counters)
+    to (B,) or fold it into the scan inside `policy`.
+
+    Returns (final states, final carry, (T, B, 3) actions, (T, B) rewards)
+    — the actions trajectory lets callers assert sharding-invariance
+    against a single-device run (green-field per SURVEY §2.9; the
+    flagship-demo loop of cli/run_predictions.py and bench.py --mode
+    policy at multi-chip scale)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if track_ids is None:
+        geom_spec = P("data")      # stacked per-env geometry: shard it
+        local_ids = True
+        B = jax.tree.leaves(geoms)[0].shape[0]
+        track_ids = jnp.arange(B, dtype=jnp.int32)
+    else:
+        geom_spec = P()            # shared bank: replicate
+        local_ids = False
+
+    def shard_body(params, geoms, carry, track_ids):
+        if local_ids:
+            # per-shard stacked geometry: ids are local offsets
+            track_ids = jnp.arange(track_ids.shape[0], dtype=jnp.int32)
+            states, res0 = reset_batch(geoms, render=render)
+        else:
+            states, res0 = reset_batch(geoms, render=render,
+                                       track_ids=track_ids)
+        # reset fields derived from constants (gas/brake/t...) trace as
+        # device-invariant; mark the whole state varying over `data` so the
+        # scan carry types line up with the per-shard stepped outputs
+        def _vary(x):
+            if "data" in getattr(jax.typeof(x), "vma", ()):
+                return x
+            return jax.lax.pcast(x, ("data",), to="varying")
+
+        states, res0 = jax.tree.map(_vary, (states, res0))
+
+        def body(c, _):
+            ss, pol_carry, prev_res = c
+            actions, pol_carry = policy(params, pol_carry, ss, prev_res)
+            ss, res = step_batch(ss, geoms, actions, render=render,
+                                 track_ids=None if local_ids else track_ids)
+            if auto_reset:
+                ss = jax.vmap(
+                    lambda s, t: env.auto_reset(s, gather_geom(geoms, t))
+                )(ss, track_ids)
+            # render=False leaves constant obs placeholders (unvarying)
+            ss, res = jax.tree.map(_vary, (ss, res))
+            return (ss, pol_carry, res), (actions, res.reward)
+
+        (states, carry2, _), (acts, rewards) = jax.lax.scan(
+            body, (states, carry, res0), None, length=n_steps)
+        return states, carry2, acts, rewards
+
+    f = shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(), geom_spec, P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P(None, "data"), P(None, "data")),
+    )
+    return jax.jit(f)(params, geoms, carry, track_ids)
+
+
 def rollout_constant_sharded(mesh, states, geoms, actions, n_steps: int,
                              render: bool = True, auto_reset: bool = True,
                              track_ids=None):

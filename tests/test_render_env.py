@@ -301,6 +301,45 @@ def test_sharded_rollout_over_mesh(geom):
                                np.asarray(s2.car.pos), atol=1e-5)
 
 
+def test_sharded_policy_rollout_matches_single_device(geom):
+    """The CLOSED-LOOP policy rollout (denoiser under shard_map, params
+    replicated, envs + obs rings sharded over `data`) must produce the
+    same per-env actions on the 8-device mesh as on one device: the x_T
+    reverse-diffusion draws are keyed per GLOBAL env id
+    (diffusion/closed_loop.py), so sharding cannot change the policy."""
+    from jax.sharding import Mesh
+
+    from state_policy_diffusionmodel_tpu import diffusion, parallel
+
+    cfg = diffusion.PolicyConfig(
+        noise_steps=20, obs_horizon=3, pred_horizon=6, inpaint_horizon=1,
+        model="UNet", model_width=8, vision_encoder="none", step_size=2)
+    pol = diffusion.DiffusionPolicy(cfg)
+    params = pol.init_params(jax.random.key(0))
+
+    geoms = T.stack([T.build(T.make_track(s), bake=False) for s in range(2)])
+    B = 16
+    tids = jnp.arange(B, dtype=jnp.int32) % 2
+    pol_fn = diffusion.make_ring_policy(pol, num_inference_steps=2,
+                                        sampler="ddim")
+
+    def run(mesh):
+        carry = diffusion.init_ring_carry(pol, B)
+        _, _, acts, rews = envs.vector.rollout_policy_sharded(
+            mesh, params, geoms, pol_fn, carry, n_steps=4, render=False,
+            track_ids=tids)
+        return np.asarray(acts), np.asarray(rews)
+
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                 ("data", "model"))
+    a1, r1 = run(mesh1)
+    a8, r8 = run(parallel.make_mesh())
+    assert a1.shape == (4, B, 3)
+    assert np.isfinite(a1).all()
+    np.testing.assert_allclose(a8, a1, atol=1e-5)
+    np.testing.assert_allclose(r8, r1, atol=1e-6)
+
+
 def test_score_label_rasterization(geom, reset_state):
     """The pyglet score label ("%04i" % reward, font_size 36 at window
     (20, 50), white — car_racing.py:504-512,774-775) is approximated as

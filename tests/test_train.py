@@ -282,8 +282,8 @@ def test_fused_chunk_matches_per_step_losses(tmp_path, tiny_pol, tiny_params):
     rng = jax.random.key(7)
     idxs = tr._index_chunks(np.arange(24), 8, True)          # (3, 8)
     lr = jnp.asarray(3e-4)
-    p1, o1, rng1, losses = run_chunk(params, opt_state,
-                                     jnp.asarray(idxs), rng, lr, dev._data)
+    p1, _, o1, rng1, losses = run_chunk(params, None, opt_state,
+                                        jnp.asarray(idxs), rng, lr, dev._data)
 
     p2, o2, r2 = params, opt_state, rng
     expected = []
@@ -331,9 +331,9 @@ def test_fused_chunk_multichip_matches_single_device(tmp_path):
         params = parallel.replicate(params, tr.mesh)
         opt_state = tr.optimizer.init(params)
         idxs = jax.device_put(idxs_np, tr._idx_sharding(True))
-        p, o, r, losses = run_chunk(params, opt_state, idxs,
-                                    jax.random.key(7), jnp.asarray(3e-4),
-                                    tr._device_ds(dm)._data)
+        p, _, o, r, losses = run_chunk(params, None, opt_state, idxs,
+                                       jax.random.key(7), jnp.asarray(3e-4),
+                                       tr._device_ds(dm)._data)
         return np.asarray(losses), jax.device_get(p)
 
     l1, p1 = run(_one_device_mesh(), "run1")
