@@ -36,6 +36,11 @@ def parse_arguments():
                    choices=["linear", "linear_v2", "cosine"])
     p.add_argument("--vision_encoder", default="autoencoder",
                    choices=["autoencoder", "resnet18", "none"])
+    p.add_argument("--train_encoder", action="store_true",
+                   help="backprop into the vision encoder (the reference "
+                        "freezes the AE; required for a from-scratch "
+                        "ResNet18-GN encoder, whose random frozen features "
+                        "carry no signal)")
     p.add_argument("--encoder_ckpt", default=None,
                    help="pretrained autoencoder checkpoint dir (optional)")
     p.add_argument("--dataset_dir", default="./data")
@@ -97,6 +102,7 @@ def main():
         noise_scheduler_type=args.noise_scheduler,
         step_size=args.step_size,
         vision_encoder=args.vision_encoder,
+        train_encoder=args.train_encoder,
     )
     tcfg = train.TrainConfig(
         epochs=args.n_epochs, batch_size=args.batch_size, lr=args.lr,
