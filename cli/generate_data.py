@@ -56,6 +56,8 @@ def main():
     buffer = ReplayBuffer.create_empty_numpy()
     seed = args.seed0
     all_seeds = []
+    states_hist = []      # across ALL modes (one pickle per dataset, matching
+                          # the reference's one states_list per run)
     for mode in modes:
         print(f"==== mode {mode}: {args.num_episodes_per_mode} episodes x "
               f"{args.steps} steps (driver={args.driver}) ====")
@@ -67,17 +69,17 @@ def main():
             target_velocity=float(args.velocities[0]),
             amplitude=args.amplitude, n_steps=args.steps, progress=True,
             return_states=args.save_states)
-        states_hist = []
         for ep in episodes:
             if args.save_states:
                 states_hist.append(ep.pop("car_state"))
             buffer.add_episode(ep)
-        if args.save_states:
-            import pickle
+    if args.save_states:
+        import pickle
 
-            with open(os.path.join(os.path.dirname(out),
-                                   "states_list.pkl"), "wb") as f:
-                pickle.dump(states_hist, f)
+        # all modes' episodes, in buffer order (was: overwritten per mode)
+        with open(os.path.join(os.path.dirname(out),
+                               "states_list.pkl"), "wb") as f:
+            pickle.dump(states_hist, f)
 
     # per-episode track seed (meta/track_seed) so closed-loop evals can
     # rebuild each episode's exact track

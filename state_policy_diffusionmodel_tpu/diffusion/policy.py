@@ -174,7 +174,11 @@ class DiffusionPolicy:
 
         eps = self.unet.apply({"params": params["unet"]},
                               x_noisy[..., None], t, cond)[..., 0]
-        return jnp.mean((noise - eps) ** 2)
+        # reduce in fp32 even under bf16 amp: a bf16 mean over B*horizon*5
+        # elements loses ~2 decimal digits, which is gradient noise the
+        # fp32 master weights would then integrate
+        return jnp.mean((noise.astype(jnp.float32)
+                         - eps.astype(jnp.float32)) ** 2)
 
     # -- sampling -----------------------------------------------------------
     def _init_noise(self, rng, B):

@@ -116,9 +116,17 @@ def make_train_step(policy: DiffusionPolicy, optimizer, amp: bool = False,
 
     def loss_fn(params, batch, rng):
         if amp:
-            batch = {k: (v.astype(jnp.bfloat16)
-                         if v.dtype == jnp.float32 else v)
-                     for k, v in batch.items()}
+            # TRUE mixed precision: batch AND params cast to bf16 for the
+            # forward/backward (halves the HBM-bound backward's traffic and
+            # doubles MXU rate); the optimizer keeps fp32 master weights —
+            # the cast is differentiable, so cotangents flow back to the
+            # fp32 tree.  Round-3 amp cast only the batch; flax promoted
+            # every matmul back to fp32 against the fp32 params and the
+            # B=256 MFU table showed amp helping 0% (BASELINE.md).
+            bf16 = lambda v: (v.astype(jnp.bfloat16)
+                              if v.dtype == jnp.float32 else v)
+            batch = {k: bf16(v) for k, v in batch.items()}
+            params = jax.tree.map(bf16, params)
         loss = policy.loss(params, batch, rng)
         return loss.astype(jnp.float32)
 
@@ -332,7 +340,11 @@ class Trainer:
         # large datasets; see data/dataset.py).
         ema_on = self._ema_on
 
-        @partial(jax.jit, out_shardings=rep)
+        # params/ema/opt_state are consumed and re-emitted every chunk:
+        # donating them lets XLA update Adam moments and weights in place
+        # instead of allocating a second copy of the full training state
+        # (HBM headroom + less traffic on the HBM-bound backward)
+        @partial(jax.jit, out_shardings=rep, donate_argnums=(0, 1, 2))
         def run_train_chunk(params, ema, opt_state, idx_chunk, rng, lr, data):
             def body(carry, idx):
                 params, ema, opt_state, rng = carry
@@ -571,7 +583,16 @@ class Trainer:
                         and last_val < best_insured - 1e-12)
             if improved:
                 best_insured = last_val
-            self._saver.submit(self._save_epoch, params, ema, opt_state,
+            sp, se, so = params, ema, opt_state
+            if self._use_device_data():
+                # run_train_chunk donates the training state: hand the async
+                # saver an on-device COPY (one jitted dispatch), else the
+                # next epoch's donation invalidates the buffers mid-save
+                if not hasattr(self, "_copy_state"):
+                    self._copy_state = jax.jit(
+                        lambda t: jax.tree.map(jnp.copy, t))
+                sp, se, so = self._copy_state((params, ema, opt_state))
+            self._saver.submit(self._save_epoch, sp, se, so,
                                epoch, float(lr), float(plateau.best),
                                int(plateau.num_bad), int(wait),
                                int(step_idx),

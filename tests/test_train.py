@@ -282,7 +282,10 @@ def test_fused_chunk_matches_per_step_losses(tmp_path, tiny_pol, tiny_params):
     rng = jax.random.key(7)
     idxs = tr._index_chunks(np.arange(24), 8, True)          # (3, 8)
     lr = jnp.asarray(3e-4)
-    p1, _, o1, rng1, losses = run_chunk(params, None, opt_state,
+    # run_chunk DONATES its state args: pass device copies so the shared
+    # module-scope fixture (and this test's replay below) stay alive
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+    p1, _, o1, rng1, losses = run_chunk(copy(params), None, copy(opt_state),
                                         jnp.asarray(idxs), rng, lr, dev._data)
 
     p2, o2, r2 = params, opt_state, rng
@@ -331,8 +334,10 @@ def test_fused_chunk_multichip_matches_single_device(tmp_path):
         params = parallel.replicate(params, tr.mesh)
         opt_state = tr.optimizer.init(params)
         idxs = jax.device_put(idxs_np, tr._idx_sharding(True))
-        p, _, o, r, losses = run_chunk(params, None, opt_state, idxs,
-                                       jax.random.key(7), jnp.asarray(3e-4),
+        copy = lambda t: jax.tree.map(jnp.copy, t)
+        p, _, o, r, losses = run_chunk(copy(params), None, copy(opt_state),
+                                       idxs, jax.random.key(7),
+                                       jnp.asarray(3e-4),
                                        tr._device_ds(dm)._data)
         return np.asarray(losses), jax.device_get(p)
 
