@@ -613,7 +613,14 @@ class Trainer:
                     best_val: float, num_bad: int = 0, es_wait: int = 0,
                     step: int = 0, improved_val: Optional[float] = None):
         ckpt_lib.save_checkpoint(self.out_dir, params, epoch)
-        if ema is not None:
+        if ema is not None and (epoch % 5 == 4
+                                or epoch >= self.config.epochs - 1):
+            # the full-precision EMA sidecar persists every 5th epoch only:
+            # a second per-epoch orbax save made the one-in-flight async
+            # saver the training bottleneck (r4b: 19.6 -> 31.7 s/epoch).
+            # The fp16 insurance snapshot below still tracks the BEST EMA
+            # continuously; resume tolerates a <=5-epoch-stale EMA (its
+            # averaging horizon is ~7 epochs at decay 0.9995, B=256).
             ckpt_lib.save_checkpoint(self.out_dir, ema, epoch,
                                      subdir="checkpoints_ema")
         ckpt_lib.save_train_state(self.out_dir, opt_state, {
