@@ -252,9 +252,15 @@ class DiffusionPolicy:
                 eps = self.unet.apply({"params": params["unet"]},
                                       x_in[..., None], jnp.full((B,), t),
                                       cond)[..., 0].astype(jnp.float32)
+                # inpaint via the x0-prediction hook (NOT the reference's
+                # per-step x_t overwrite, which breaks the multistep
+                # history — see dpmpp_2m_step's x0_fix docstring).  The
+                # final step's sigma_prev = 0 limit makes x == m0, so the
+                # output inpaint rows are still verbatim to ~1e-12.
                 x, m0, lam_s = S.dpmpp_2m_step(
-                    sched, eps, t, prev_t, x, m_prev, lam_prev, so)
-                x = self._constrain(x, inpaint)
+                    sched, eps, t, prev_t, x, m_prev, lam_prev, so,
+                    x0_fix=lambda m: self._constrain(
+                        m, inpaint.astype(m.dtype)))
                 return (x, m0, lam_s), (x if history else None)
 
             carry0 = (x_t, jnp.zeros_like(x_t), jnp.float32(0.0))

@@ -116,7 +116,7 @@ def ddim_step(sched: DiffusionSchedule, eps: jax.Array, t: jax.Array,
 def dpmpp_2m_step(sched: DiffusionSchedule, eps: jax.Array, t: jax.Array,
                   prev_t: jax.Array, x_t: jax.Array, m_prev: jax.Array,
                   lam_prev: jax.Array, second_order: jax.Array,
-                  clip_sample: bool = True):
+                  clip_sample: bool = True, x0_fix=None):
     """One DPM-Solver++(2M) multistep update (data-prediction form).
 
     A second-order ODE solver for the probability-flow ODE (Lu et al. 2022,
@@ -151,6 +151,17 @@ def dpmpp_2m_step(sched: DiffusionSchedule, eps: jax.Array, t: jax.Array,
     m0 = (x_t - sigma_s * eps) / alpha_s
     if clip_sample:
         m0 = jnp.clip(m0, -1.0, 1.0)
+    if x0_fix is not None:
+        # inpainting hook: constrain the DATA prediction, not x_t.  A
+        # multistep solver extrapolates from its previous x0 prediction
+        # assuming a smooth trajectory; overwriting x_t rows with CLEAN
+        # values at a noisy t (the reference's DDPM-style constraint)
+        # injects per-step discontinuities that the finite-difference
+        # correction amplifies (measured: r3h dpmpp-5 open-loop 12.4 u vs
+        # ddim-5 6.2 u under x_t-overwrite; RESULTS_r4.md).  Constraining
+        # m0 keeps the known rows exact in data space at every step and
+        # leaves the solver history consistent.
+        m0 = x0_fix(m0)
 
     lam_s = jnp.log(alpha_s / sigma_s)
     lam_p = jnp.log(alpha_p / sigma_p)
