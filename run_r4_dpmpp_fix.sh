@@ -19,4 +19,18 @@ done
 python bench.py --mode policy --envs 256 --run_dir ./tb_logs/$RUN \
   --gaussian_init --sampler dpmpp --num_inference_steps 5 \
   | tee results/bench_policy_${RUN}_dpmpp5fix_gauss.json
+# r4b closed-loop check with RAW weights (EMA drove at 171 tiles/min vs
+# r3h's 285 despite better open-loop accuracy — raw-vs-EMA isolates
+# whether that is a weights effect or rollout variance)
+[ -f results/bench_policy_r4b_raw_gauss.json ] || \
+python bench.py --mode policy --envs 256 --run_dir ./tb_logs/r4b \
+  --gaussian_init | tee results/bench_policy_r4b_raw_gauss.json
+
+# MFU after the true-bf16 amp change (round-3 amp helped 0% at B=256
+# because only the batch was cast; VERDICT item 7 target: >20% train MFU)
+[ -f results/mfu_r4_amp.json ] || \
+python -m cli.mfu --train_batch 256 --amp --out results/mfu_r4_amp.json
+[ -f results/mfu_r4_fp32.json ] || \
+python -m cli.mfu --train_batch 256 --out results/mfu_r4_fp32.json
+
 echo "R4 DPMPP FIX DONE"
