@@ -21,9 +21,14 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "float32")
 
+if os.environ.get("SPDM_TEST_FAST_COMPILE"):
+    # experiment knob: trade XLA optimization level for compile time
+    jax.config.update("jax_disable_most_optimizations", True)
+
 # persistent compilation cache: the suite compiles the same shapes every
 # run (trainer/e2e tests dominate wall time); warm runs skip XLA entirely
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("SPDM_TEST_CACHE", "/tmp/jax_test_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_enable_xla_caches",
                   "all")

@@ -205,7 +205,11 @@ def test_model_width_hparams_round_trip(tmp_path, tiny_pol):
 def test_trainer_end_to_end(tmp_path, tiny_pol):
     tcfg = train.TrainConfig(epochs=2, batch_size=8, lr=3e-4, seed=0,
                              early_stop=False)
-    trainer = train.Trainer(tiny_pol, tcfg, str(tmp_path / "run"))
+    # 1-device mesh: this test covers the host loop + checkpoint plumbing;
+    # multi-device SPMD programs compile ~5x slower cold and have their own
+    # dedicated tests (fused multichip, sharded rollout, mesh)
+    trainer = train.Trainer(tiny_pol, tcfg, str(tmp_path / "run"),
+                            mesh=_one_device_mesh())
     dm = _synthetic_module(n_steps=120)  # small: the loop, not the loss
     out = trainer.fit(dm)
     assert len(out["history"]["train_loss"]) == 2
@@ -231,12 +235,14 @@ def test_trainer_resume(tmp_path, tiny_pol):
 
     tcfg1 = train.TrainConfig(epochs=1, batch_size=8, lr=3e-4, seed=0,
                               early_stop=False)
-    t1 = train.Trainer(pol, tcfg1, str(tmp_path / "run"))
+    t1 = train.Trainer(pol, tcfg1, str(tmp_path / "run"),
+                       mesh=_one_device_mesh())
     t1.fit(dm)
 
     tcfg2 = train.TrainConfig(epochs=2, batch_size=8, lr=3e-4, seed=0,
                               early_stop=False)
-    t2 = train.Trainer(pol, tcfg2, str(tmp_path / "run"))
+    t2 = train.Trainer(pol, tcfg2, str(tmp_path / "run"),
+                       mesh=_one_device_mesh())
     out = t2.fit(dm, resume=True)
     # epoch 0 already done: resumed run trains exactly one more epoch
     assert len(out["history"]["train_loss"]) == 1
