@@ -91,10 +91,14 @@ python -m cli.evaluate all --run_dir ./tb_logs/r4sin \
 python bench.py --mode policy --envs 256 --run_dir ./tb_logs/r4sin \
   --gaussian_init --ema | tee results/bench_policy_r4sin_ema_gauss.json
 
+# ---- stage 2b: quick measurements before the long ResNet run ---------------
+# (idempotent; the chained run_r4_dpmpp_fix.sh re-invocation no-ops)
+bash ./run_r4_dpmpp_fix.sh || true
+
 # ---- stage 3: r4rn ResNet18-GN policy on the r3 dataset --------------------
 [ -f results/eval_r4rn_ema_gauss.json ] || {
 python -m cli.train_policy --dataset_dir "$R3_DATA_DIR" \
-  --dataset_name "$R3_TRAIN_ZARR" --n_epochs 120 --batch_size 256 \
+  --dataset_name "$R3_TRAIN_ZARR" --n_epochs 90 --batch_size 256 \
   --lr 4e-4 --lr_schedule cosine --min_lr 1e-6 --device_data \
   --vision_encoder resnet18 --train_encoder \
   --ema_decay 0.9995 --insurance_dir artifacts/r4rn_best \
