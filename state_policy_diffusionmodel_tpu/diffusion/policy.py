@@ -252,15 +252,20 @@ class DiffusionPolicy:
                 eps = self.unet.apply({"params": params["unet"]},
                                       x_in[..., None], jnp.full((B,), t),
                                       cond)[..., 0].astype(jnp.float32)
-                # inpaint via the x0-prediction hook (NOT the reference's
-                # per-step x_t overwrite, which breaks the multistep
-                # history — see dpmpp_2m_step's x0_fix docstring).  The
-                # final step's sigma_prev = 0 limit makes x == m0, so the
-                # output inpaint rows are still verbatim to ~1e-12.
+                # Per-step x_t overwrite, like DDIM/DDPM — deliberately.
+                # Round 4 tested the "cleaner" alternative (constrain the
+                # x0 prediction via dpmpp_2m_step's x0_fix and let x_t
+                # evolve freely): accuracy COLLAPSED 12.4 -> 44.5 u at 5
+                # steps.  Cause: training constrains x_noisy
+                # (policy.loss above), so the network has only ever seen
+                # inputs whose inpaint rows are CLEAN — solver-evolved
+                # rows are off-distribution.  The reference's overwrite
+                # is the training-consistent choice; dpmpp's few-step
+                # deficit vs DDIM (RESULTS_r4.md) is a property of the
+                # model/solver pairing, not of the constraint.
                 x, m0, lam_s = S.dpmpp_2m_step(
-                    sched, eps, t, prev_t, x, m_prev, lam_prev, so,
-                    x0_fix=lambda m: self._constrain(
-                        m, inpaint.astype(m.dtype)))
+                    sched, eps, t, prev_t, x, m_prev, lam_prev, so)
+                x = self._constrain(x, inpaint)
                 return (x, m0, lam_s), (x if history else None)
 
             carry0 = (x_t, jnp.zeros_like(x_t), jnp.float32(0.0))

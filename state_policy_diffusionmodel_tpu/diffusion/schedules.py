@@ -152,15 +152,14 @@ def dpmpp_2m_step(sched: DiffusionSchedule, eps: jax.Array, t: jax.Array,
     if clip_sample:
         m0 = jnp.clip(m0, -1.0, 1.0)
     if x0_fix is not None:
-        # inpainting hook: constrain the DATA prediction, not x_t.  A
-        # multistep solver extrapolates from its previous x0 prediction
-        # assuming a smooth trajectory; overwriting x_t rows with CLEAN
-        # values at a noisy t (the reference's DDPM-style constraint)
-        # injects per-step discontinuities that the finite-difference
-        # correction amplifies (measured: r3h dpmpp-5 open-loop 12.4 u vs
-        # ddim-5 6.2 u under x_t-overwrite; RESULTS_r4.md).  Constraining
-        # m0 keeps the known rows exact in data space at every step and
-        # leaves the solver history consistent.
+        # Optional x0-space inpainting hook — MEASURED NEGATIVE for this
+        # repo's policies, kept for models trained without the input
+        # constraint: constraining m0 and letting x_t evolve freely
+        # collapsed accuracy 12.4 -> 44.5 u at 5 steps (round 4), because
+        # the denoiser is trained on x_noisy whose inpaint rows are
+        # overwritten CLEAN (policy.loss) and solver-evolved rows are
+        # off-distribution for it.  DiffusionPolicy.sample therefore uses
+        # the reference's per-step x_t overwrite instead (RESULTS_r4.md).
         m0 = x0_fix(m0)
 
     lam_s = jnp.log(alpha_s / sigma_s)
