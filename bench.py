@@ -53,7 +53,14 @@ def _note_time(dt):
 
 
 def _emit_partial(origin):
-    with _PRINT_LOCK:
+    # Bounded acquire: a SIGTERM/SIGALRM handler runs ON the main thread —
+    # if the signal lands while the main thread already holds _PRINT_LOCK
+    # (final JSON print), a blocking acquire would self-deadlock and the
+    # process would never exit (round-4 advisor, low). 2 s is plenty for
+    # any legitimate holder; on timeout we print unlocked (worst case:
+    # interleaved stdout, still better than hanging the driver).
+    locked = _PRINT_LOCK.acquire(timeout=2.0)
+    try:
         if _PARTIAL["printed"] or _PARTIAL["done"]:
             return False
         if not _PARTIAL["times"] or _PARTIAL["fmt"] is None:
@@ -64,6 +71,9 @@ def _emit_partial(origin):
         out["partial"] = origin
         print(json.dumps(out), flush=True)
         return True
+    finally:
+        if locked:
+            _PRINT_LOCK.release()
 
 
 def _on_term(signum, frame):

@@ -33,8 +33,14 @@ def parse_args():
     p.add_argument("--seed0", type=int, default=43)
     p.add_argument("--zip", action="store_true", dest="make_zip")
     p.add_argument("--save_states", action="store_true",
-                   help="pickle per-step raw sim states next to the dataset "
-                        "(states_list.pkl, generateParallelTraj.py:77-80)")
+                   help="ALSO pickle per-step raw sim states next to the "
+                        "dataset (states_list.pkl, the reference sidecar, "
+                        "generateParallelTraj.py:77-80); the zarr itself "
+                        "always carries data/car_state unless "
+                        "--no_car_states")
+    p.add_argument("--no_car_states", action="store_true",
+                   help="omit the per-frame data/car_state key (O(1) "
+                        "mid-episode restore support) from the zarr")
     return p.parse_args()
 
 
@@ -68,10 +74,12 @@ def main():
             seeds, driver=args.driver, mode=mode,
             target_velocity=float(args.velocities[0]),
             amplitude=args.amplitude, n_steps=args.steps, progress=True,
-            return_states=args.save_states)
+            return_states=args.save_states or not args.no_car_states)
         for ep in episodes:
             if args.save_states:
-                states_hist.append(ep.pop("car_state"))
+                states_hist.append(ep["car_state"])
+            if args.no_car_states:
+                ep.pop("car_state", None)
             buffer.add_episode(ep)
     if args.save_states:
         import pickle

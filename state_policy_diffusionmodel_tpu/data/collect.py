@@ -139,9 +139,16 @@ def generate_dataset(
     target_velocity: float = 30.0,
     seed0: int = 43,
     make_zip: bool = False,
+    save_states: bool = True,
     **kw,
 ) -> ReplayBuffer:
-    """End-to-end dataset generation into the reference zarr schema."""
+    """End-to-end dataset generation into the reference zarr schema.
+
+    save_states persists the per-frame (30,) `physics.save_state` vector as
+    a `data/car_state` key — the reference's `states_list.pkl` sidecar
+    (generateParallelTraj.py:77-80) — so eval can O(1)-restore the env at
+    any frame via `envs.reset_car` instead of replaying the episode prefix.
+    """
     buffer = ReplayBuffer.create_empty_numpy()
     seed = seed0
     all_seeds = []
@@ -151,7 +158,7 @@ def generate_dataset(
         all_seeds.extend(seeds)
         for ep in collect_episodes(
             seeds, driver=driver, mode=mode, n_steps=n_steps,
-            target_velocity=target_velocity, **kw,
+            target_velocity=target_velocity, return_states=save_states, **kw,
         ):
             buffer.add_episode(ep)
     # per-episode track seed so eval replays can rebuild the exact track

@@ -54,6 +54,13 @@ class WindowDataset:
             "velocity": np.asarray(data["velocity"], np.float32),
             "action": np.asarray(data["action"], np.float32),
         }
+        # per-frame raw sim states ((T, 30) physics.save_state vectors) when
+        # the dataset carries them — enables O(1) mid-episode env restore in
+        # eval (the reference pickles these beside each dataset,
+        # generateParallelTraj.py:77-80); older datasets lack the key and
+        # fall back to action replay
+        self.car_state = (np.asarray(data["car_state"], np.float32)
+                          if "car_state" in data else None)
         img = np.asarray(data["img"])
         if img.dtype == np.uint8:
             img = img.astype(np.float32) / 255.0

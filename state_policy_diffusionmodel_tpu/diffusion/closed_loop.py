@@ -93,8 +93,20 @@ def make_ring_policy(policy: DiffusionPolicy, stats=None,
                      sampler: str = "ddim", num_inference_steps: int = 10,
                      ddim_spacing: str = "leading", amp: bool = False,
                      key: Optional[jax.Array] = None) -> Callable:
-    """policy_fn(params, carry, states, prev_res) -> ((B, 3) actions, carry)
-    for envs.vector.rollout_policy / rollout_policy_sharded.
+    """policy_fn(params, carry, states, prev_res) -> ((B, 3) actions, carry).
+
+    The 4-arg signature matches envs.vector.rollout_policy_sharded (which
+    threads params explicitly so they can be replicated over the mesh).
+    rollout_policy expects a 3-arg policy(carry, states, prev_res): bind
+    params first — `functools.partial(policy_fn, params)`.
+
+    Shard invariance (8-device actions == 1-device actions) holds for
+    DETERMINISTIC samplers (ddim, dpmpp): x_T is keyed per global env id
+    (`uid`), so it is independent of the mesh layout. Stochastic samplers
+    (ddpm) additionally draw batch-shaped per-step noise inside
+    policy.sample from fold_in(base_key, k0) — that draw depends on the
+    local batch size, so actions would differ between mesh sizes; use
+    ddim/dpmpp when shard-exact reproducibility matters.
 
     Denoises every cfg.step_size frames from the step_size-subsampled
     (newest-aligned) ring — the observation window spans the same 1 s the

@@ -75,11 +75,19 @@ class EvalContext:
     def warmed_state(self, start: int):
         """(geom, state, episode-local dense actions, n_warm) with the env
         warm-started through the observation span of the window starting at
-        global frame `start` — replaying only the window's own episode's
-        actions, on that episode's exact track (`meta/track_seed` when the
-        dataset records it, else `track_seed`). This is the reference's
+        global frame `start` — on that episode's exact track
+        (`meta/track_seed` when the dataset records it, else `track_seed`).
+
+        When the dataset carries per-frame `data/car_state` vectors
+        (collect.generate_dataset save_states), the warm start is an O(1)
+        `envs.reset_car` restore of the recorded post-step state — the
+        reference's `states_list.pkl` + `EnvWrapper.reset_car` workflow
+        (generateParallelTraj.py:77-80, envWrapper.py:30-32). Otherwise it
+        replays the episode's own actions from reset — the reference's
         warm-up loop (eval_consistency_diffusion_actions.py:168-171:
-        `start_idx + obs_horizon * step_size` frames)."""
+        `start_idx + obs_horizon * step_size` frames). Both restore the CAR
+        exactly; tile-visit/reward accounting restarts either way (matching
+        `reset_car`, which touches only the car body)."""
         cfg = self.policy.config
         ep, ep_start, ep_end = self.episode_of(start)
         seeds = self.dataset.meta.get("track_seed")
@@ -89,7 +97,15 @@ class EvalContext:
             self.dataset.train_data["action"][ep_start:ep_end],
             self.dataset.stats["action"]))
         n_warm = (start - ep_start) + cfg.obs_horizon * cfg.step_size
-        state0 = rollout.state_at_window_start(geom, ep_actions, n_warm)
+        car_states = getattr(self.dataset, "car_state", None)
+        if car_states is not None and n_warm > 0:
+            # car_state[t] is the post-step state after executing action t:
+            # restoring frame n_warm-1 == replaying n_warm actions
+            state0, _ = envs.reset(geom, render=False)
+            state0 = envs.reset_car(
+                state0, jnp.asarray(car_states[ep_start + n_warm - 1]))
+        else:
+            state0 = rollout.state_at_window_start(geom, ep_actions, n_warm)
         return geom, state0, ep_actions, n_warm
 
     def window(self, idx: int):

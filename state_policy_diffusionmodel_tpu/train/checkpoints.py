@@ -45,6 +45,13 @@ def save_checkpoint(out_dir: str, params, epoch: int,
 
 
 def load_checkpoint(path: str, like=None):
+    if path is None:
+        # every --ema CLI path funnels latest_checkpoint(...) in here; a
+        # run trained without --ema_decay has no checkpoints_ema/ and
+        # latest_checkpoint returns None (round-4 advisor, low)
+        raise FileNotFoundError(
+            "no checkpoint found — if this was a --ema load, the run has "
+            "no checkpoints_ema/ (trained without --ema_decay?)")
     if ocp is not None and not os.path.exists(os.path.join(path, "params.npz")):
         ckptr = ocp.StandardCheckpointer()
         return ckptr.restore(os.path.abspath(path), like)

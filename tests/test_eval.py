@@ -152,6 +152,70 @@ def test_warmed_state_uses_episode_track(tmp_path):
         np.asarray(cont), positions[n_warm + 1:n_warm + 11], atol=1e-4)
 
 
+def test_warmed_state_o1_restore_matches_replay(tmp_path):
+    """A dataset carrying data/car_state must warm-start via O(1)
+    envs.reset_car to the SAME car state the action-replay path reaches
+    (VERDICT r4 missing-2 / generateParallelTraj.py:77-80 workflow)."""
+    from state_policy_diffusionmodel_tpu import physics
+
+    seed, n = 7, 120
+    geom = T.build(T.make_track(seed), bake=False)
+    state, res0 = envs.reset(geom, render=False)
+    acts = np.tile(np.array([0.05, 0.4, 0.0], np.float32), (n, 1))
+
+    step = jax.jit(lambda s, a: envs.step(s, geom, a, render=False))
+    poses, vels, cstates = [np.asarray(res0.info.car_position)], \
+        [np.asarray(res0.info.car_velocity)], []
+    s = state
+    for t in range(n):
+        s, res = step(s, jnp.asarray(acts[t]))
+        poses.append(np.asarray(res.info.car_position))
+        vels.append(np.asarray(res.info.car_velocity))
+        cstates.append(np.asarray(physics.save_state(s.car)))
+
+    buf = ReplayBuffer.create_empty_numpy()
+    buf.add_episode({
+        "img": np.zeros((n, 8, 8, 3), np.float32),
+        "position": np.stack(poses[:-1]).astype(np.float32),
+        "velocity": np.stack(vels[:-1]).astype(np.float32),
+        "action": acts,
+        "car_state": np.stack(cstates).astype(np.float32),
+    })
+    buf.meta["track_seed"] = np.array([seed], np.int64)
+    path = str(tmp_path / "ds.zarr")
+    buf.save_to_path(path)
+    loaded = ReplayBuffer.copy_from_path(path)
+
+    cfg = diffusion.PolicyConfig(
+        noise_steps=10, obs_horizon=4, pred_horizon=6, inpaint_horizon=1,
+        model="UNet", model_width=8, vision_encoder="none", step_size=2)
+    pol = diffusion.DiffusionPolicy(cfg)
+    train_ds = WindowDataset(loaded, 4, 6, step_size=2)
+    infer_ds = WindowDataset(loaded, 4, 6, step_size=2, stats=train_ds.stats)
+    assert infer_ds.car_state is not None and infer_ds.car_state.shape == (n, 30)
+    c = E.EvalContext(policy=pol, params=None, dataset=infer_ds, track_seed=42)
+
+    _, _, start, _ = c.window(10)
+    g, s0, ep_actions, n_warm = c.warmed_state(start)
+    # O(1)-restored car must sit exactly on the recorded trajectory
+    np.testing.assert_allclose(np.asarray(s0.car.pos), poses[n_warm],
+                               atol=1e-5)
+    # and match the replay-based warm start (the pre-car_state path) in
+    # every car field — loosely: replay re-executes the dataset's actions,
+    # which passed through min-max normalize→unnormalize (f32 quantization
+    # ~1e-7/step, amplified to ~5e-4 over the warm span). The O(1) restore
+    # is the EXACT recorded state (asserted at 1e-5 above); the drift here
+    # belongs to the replay path.
+    s_replay = E.rollout.state_at_window_start(g, ep_actions, n_warm)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=5e-3), s0.car, s_replay.car)
+    # continuing with the episode's own actions reproduces the tail
+    _, cont, _ = E.replay(g, s0, jnp.asarray(acts[n_warm:n_warm + 10]), 10)
+    np.testing.assert_allclose(np.asarray(cont),
+                               np.stack(poses[n_warm + 1:n_warm + 11]),
+                               atol=1e-4)
+
+
 def test_smoke(ctx, tmp_path):
     fig = str(tmp_path / "overlay.png")
     out = E.smoke(ctx, window_idx=0, fig_path=fig)

@@ -530,3 +530,36 @@ def test_trainer_ema_and_insurance(tmp_path, tiny_pol):
         np.asarray(a), np.asarray(b), atol=2e-2), restored, ema)
     assert os.path.exists(ins / "hparams.yaml")
     assert os.path.exists(ins / "STATS.pkl")
+
+
+@pytest.mark.slow
+def test_insurance_seeds_from_existing_best(tmp_path, tiny_pol):
+    """A resumed run must NOT clobber a previously saved better insurance
+    snapshot: best_insured seeds from insurance_dir/BEST.json (round-4
+    advisor, medium)."""
+    import json as _json
+
+    ins = tmp_path / "insurance"
+    # pre-existing snapshot with an unbeatable val loss
+    prev_ck = ins / "checkpoints" / "epoch=99"
+    prev_ck.mkdir(parents=True)
+    np.savez(prev_ck / "params.npz", marker=np.ones(3))
+    (ins / "BEST.json").write_text(
+        _json.dumps({"epoch": 99, "val_loss": 0.0, "ema": True}))
+    tcfg = train.TrainConfig(epochs=2, batch_size=8, lr=3e-4, seed=0,
+                             early_stop=False, device_data=True,
+                             ema_decay=0.9, insurance_dir=str(ins))
+    trainer = train.Trainer(tiny_pol, tcfg, str(tmp_path / "run"),
+                            mesh=_one_device_mesh())
+    trainer.fit(_synthetic_module(n_steps=120))
+    best = _json.load(open(ins / "BEST.json"))
+    assert best["epoch"] == 99 and best["val_loss"] == 0.0
+    assert os.path.exists(prev_ck / "params.npz")
+
+
+def test_load_checkpoint_none_raises_clear_error():
+    """--ema loads on a run without checkpoints_ema/ funnel None in here;
+    the error must say so instead of TypeError from os.path.join (round-4
+    advisor, low)."""
+    with pytest.raises(FileNotFoundError, match="ema_decay"):
+        train.checkpoints.load_checkpoint(None, like=None)
