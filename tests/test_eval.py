@@ -70,6 +70,11 @@ def test_position_accuracy(ctx):
     out = E.position_accuracy(ctx, max_windows=3)
     assert out["per_step_error"].shape == (7,)
     assert np.isfinite(out["overall"])
+    # action-head metrics (driving executes actions, not positions)
+    assert out["action_per_step_error"].shape == (7,)
+    assert np.isfinite(out["action_overall"])
+    for k in ("action_mae_steer", "action_mae_gas", "action_mae_brake"):
+        assert np.isfinite(out[k]) and out[k] >= 0
 
 
 def test_precision_and_rollout(ctx):

@@ -250,3 +250,32 @@ def test_double_conv_custom_vjp_matches_autodiff():
     for a, b in zip(g_custom, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_conv_dw_pallas_matches_autodiff():
+    """The fused Pallas weight-gradient kernel (SPDM_CONV_BWD=pallas train
+    path) must match XLA autodiff's dw for the xla9 conv bitwise-ish."""
+    rng = np.random.default_rng(5)
+    x = _rand(rng, (8, 16, 8, 16))
+    w = _rand(rng, (9 * 16, 32), 0.1)
+    g = _rand(rng, (8, 16, 8, 32))
+
+    import functools as ft
+    orig = pl.pallas_call
+    pl.pallas_call = ft.partial(orig, interpret=True)
+    try:
+        dw = po._conv_dw_pallas(x, g)
+        # full custom-VJP path vs native autodiff
+        g1 = jax.grad(lambda a, b: jnp.vdot(po._conv3x3_t(a, b), g),
+                      (0, 1))(x, w)
+    finally:
+        pl.pallas_call = orig
+    g2 = jax.grad(lambda a, b: jnp.vdot(po._conv3x3_xla9(a, b), g),
+                  (0, 1))(x, w)
+    want_dw = g2[1]
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(want_dw),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-4, atol=1e-4)
