@@ -251,7 +251,8 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
                  gaussian_init: bool = False, denoise_microbatches: int = 1,
                  num_inference_steps: int = 10, sampler: str = "ddim",
                  ema: bool = False, metrics_repeats: int = 1,
-                 n_unique_tracks: int = 4):
+                 n_unique_tracks: int = 4, epoch: int | None = None,
+                 metrics_only: bool = False, interp_actions: bool = False):
     """Closed-loop diffusion policy: envs step at 50 Hz sim time; every
     `step_size` frames the policy denoises (DDIM-10) from the rolling obs
     window and commits the next actions — all inside one jit.  amp=True
@@ -292,12 +293,13 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
             cfg = dataclasses.replace(cfg, uniform_init=False)
         pol = diffusion.DiffusionPolicy(cfg)
         tmpl = pol.init_params(jax.random.key(0))
-        params = train.checkpoints.load_checkpoint(
-            train.checkpoints.latest_checkpoint(
-                run_dir,
-                subdir="checkpoints_ema" if ema else "checkpoints"), tmpl)
+        subdir = "checkpoints_ema" if ema else "checkpoints"
+        ckpt = (os.path.join(run_dir, subdir, f"epoch={epoch}")
+                if epoch is not None
+                else train.checkpoints.latest_checkpoint(run_dir, subdir))
+        params = train.checkpoints.load_checkpoint(ckpt, tmpl)
         stats = load_stats(os.path.join(run_dir, "STATS.pkl"))
-        _log(f"[bench] loaded trained policy from {run_dir}"
+        _log(f"[bench] loaded trained policy from {ckpt}"
              + (" (EMA weights)" if ema else ""))
     else:
         cfg = diffusion.PolicyConfig(
@@ -377,7 +379,18 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
             # denoises executes row 0 — the action predicted for the 0.1 s
             # right after the observation window (indexing by k//step_size
             # drifted into far-future rows as the rollout progressed)
-            a = actions_queue[:, 0]
+            if interp_actions:
+                # linear interpolation toward the NEXT predicted row over
+                # the step_size frames between denoises (the reference's
+                # interpolate_actions semantics,
+                # eval_consistency_diffusion_actions.py — the default ZOH
+                # holds row 0 for all 5 frames)
+                frac = jnp.asarray((k - warmup) % cfg.step_size,
+                                   jnp.float32) / cfg.step_size
+                a = (1.0 - frac) * actions_queue[:, 0] \
+                    + frac * actions_queue[:, 1]
+            else:
+                a = actions_queue[:, 0]
             if warmup:
                 warm_a = jnp.broadcast_to(
                     jnp.array([0.0, 0.3, 0.0], jnp.float32), a.shape)
@@ -430,30 +443,37 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
                 "policy in loop)",
         "vs_baseline": round(n_frames / min(times) / 50.0, 3),
     })
-    rollout = make_rollout(n_frames)
-    hist = fresh_hist()
-    rng = jax.random.key(0)
-    t0 = time.perf_counter()
-    states, hist, rew = rollout(params, geoms, track_ids, states, hist, rng)
-    float(rew.sum())  # fetch a VALUE: the tunnel acks block_until_ready early
-    _note_time(time.perf_counter() - t0)  # compile+warmup: emergency fallback
-    times = []
-    for _ in range(repeats):
+    if metrics_only:
+        # driving-metrics-only run: skip the throughput program entirely —
+        # each compile through the axon tunnel costs minutes, and sweep
+        # rows (tiles/min comparisons) never read the throughput number
+        frames_per_sec = float("nan")
+    else:
+        rollout = make_rollout(n_frames)
+        hist = fresh_hist()
+        rng = jax.random.key(0)
         t0 = time.perf_counter()
         states, hist, rew = rollout(params, geoms, track_ids, states, hist,
                                     rng)
-        float(rew.sum())
-        dt = time.perf_counter() - t0
-        _note_time(dt)  # min() still picks real repeats over the warmup time
-        times.append(dt)
-    if profile_dir:
-        from state_policy_diffusionmodel_tpu.utils import profiling
-        with profiling.trace(profile_dir):
+        float(rew.sum())  # fetch a VALUE: the tunnel acks readiness early
+        _note_time(time.perf_counter() - t0)   # compile+warmup: fallback
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
             states, hist, rew = rollout(params, geoms, track_ids, states,
                                         hist, rng)
             float(rew.sum())
-        _log(f"[bench] jax.profiler trace written to {profile_dir}")
-    frames_per_sec = n_envs * n_frames / min(times)
+            dt = time.perf_counter() - t0
+            _note_time(dt)  # min() still picks real repeats over warmup
+            times.append(dt)
+        if profile_dir:
+            from state_policy_diffusionmodel_tpu.utils import profiling
+            with profiling.trace(profile_dir):
+                states, hist, rew = rollout(params, geoms, track_ids, states,
+                                            hist, rng)
+                float(rew.sum())
+            _log(f"[bench] jax.profiler trace written to {profile_dir}")
+        frames_per_sec = n_envs * n_frames / min(times)
 
     driving = None
     if metrics_frames > 0:
@@ -583,6 +603,16 @@ def main():
     ap.add_argument("--ema", action="store_true",
                     help="policy mode: load EMA weights (checkpoints_ema/) "
                          "from --run_dir instead of the raw params")
+    ap.add_argument("--epoch", type=int, default=None,
+                    help="policy mode: load this specific epoch's checkpoint "
+                         "instead of the latest (mid-run driving evals)")
+    ap.add_argument("--metrics-only", action="store_true",
+                    help="policy mode: skip the throughput measurement and "
+                         "its compile; report only driving metrics")
+    ap.add_argument("--interp-actions", action="store_true",
+                    help="policy mode: linearly interpolate between queue "
+                         "rows 0 and 1 across the step_size frames between "
+                         "denoises instead of holding row 0 (ZOH)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes for CPU smoke testing")
     args = ap.parse_args()
@@ -620,7 +650,9 @@ def main():
             sampler=args.sampler, ema=args.ema,
             metrics_frames=metrics_frames,
             metrics_repeats=args.metrics_repeats,
-            n_unique_tracks=args.unique_tracks)
+            n_unique_tracks=args.unique_tracks, epoch=args.epoch,
+            metrics_only=args.metrics_only,
+            interp_actions=args.interp_actions)
         # real time = 50 sim frames per wall second per env
         realtime_factor = value / (50.0 * args.envs)
         out = {
