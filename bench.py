@@ -430,7 +430,11 @@ def bench_policy(n_envs: int, repeats: int, amp: bool = True,
 
     def fresh_hist():
         return {
-            "image_features": jnp.zeros((n_envs, L_ring, cfg.vision_latent)),
+            # feature width = what the encoder actually emits (512 for
+            # resnet18, vision_latent for the conv-AE) — cfg.vision_latent
+            # alone broke resnet policies (film cond 1350 vs 5190)
+            "image_features": jnp.zeros(
+                (n_envs, L_ring, cfg.observation_dim - cfg.state_cond_dim)),
             "position": jnp.zeros((n_envs, L_ring, 2)),
             "velocity": jnp.zeros((n_envs, L_ring, 2)),
             "action": jnp.zeros((n_envs, L_ring, 3)),

@@ -79,7 +79,10 @@ def init_ring_carry(policy: DiffusionPolicy, n_envs: int,
         "action": jnp.zeros((n_envs, L, 3)),
     }
     if policy.encoder is not None:
-        hist["image_features"] = jnp.zeros((n_envs, L, cfg.vision_latent))
+        # feature width = what the encoder actually emits (512 for
+        # resnet18, vision_latent for the conv-AE)
+        hist["image_features"] = jnp.zeros(
+            (n_envs, L, cfg.observation_dim - cfg.state_cond_dim))
     return {
         "hist": hist,
         "queue": jnp.zeros((n_envs, cfg.pred_horizon, 3)),

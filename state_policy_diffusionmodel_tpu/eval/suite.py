@@ -176,7 +176,7 @@ def position_accuracy(ctx: EvalContext, max_windows: Optional[int] = None,
         max_windows, len(ctx.dataset))
     chunk = min(chunk, n)
     tail = cfg.obs_horizon - cfg.inpaint_horizon
-    errors, act_errors, act_abs = [], [], []
+    errors, act_errors, act_abs, act_signed = [], [], [], []
     for c0 in range(0, n, chunk):
         idxs = np.arange(c0, min(c0 + chunk, n))
         pad = chunk - len(idxs)
@@ -203,16 +203,24 @@ def position_accuracy(ctx: EvalContext, max_windows: Optional[int] = None,
         a_gt_u = np.asarray(N.unnormalize_data(a_gt,
                                                ctx.dataset.stats["action"]))
         act_abs.append(np.abs(a_pred_u - a_gt_u)[: len(idxs)])
+        act_signed.append((a_pred_u - a_gt_u)[: len(idxs)])
     errors = np.concatenate(errors)                    # (n_windows, horizon)
     act_errors = np.concatenate(act_errors)
     act_abs = np.concatenate(act_abs)                  # (n, horizon, 3)
+    act_signed = np.concatenate(act_signed)
     return {"per_step_error": errors.mean(0), "per_window_error": errors.mean(1),
             "overall": float(errors.mean()),
             "action_per_step_error": act_errors.mean(0),
             "action_overall": float(act_errors.mean()),
             "action_mae_steer": float(act_abs[..., 0].mean()),
             "action_mae_gas": float(act_abs[..., 1].mean()),
-            "action_mae_brake": float(act_abs[..., 2].mean())}
+            "action_mae_brake": float(act_abs[..., 2].mean()),
+            # SIGNED mean errors: a negative gas bias = the sampler shrinks
+            # actions toward the dataset mean (the round-5 hypothesis for
+            # why leading-grid DDIM crawls and trailing flies)
+            "action_bias_steer": float(act_signed[..., 0].mean()),
+            "action_bias_gas": float(act_signed[..., 1].mean()),
+            "action_bias_brake": float(act_signed[..., 2].mean())}
 
 
 def precision(ctx: EvalContext, window_idx: int = 70, n_runs: int = 5,

@@ -36,6 +36,13 @@ ROWS = [
     # the ResNet18 encoder policy (second architecture family)
     ("r4rn_ema_ddim10", "tb_logs/r4rn", {"ema": True}),
     ("r4rn_raw_ddim10", "tb_logs/r4rn", {}),
+    # trailing-spacing follow-ups (r3h_trailing measured +34% tiles/min)
+    ("r3h_ddim5_trailing", "tb_logs/r3h",
+     {"ddim_spacing": "trailing", "num_inference_steps": 5}),
+    ("r4sin_ema_trailing", "tb_logs/r4sin",
+     {"ddim_spacing": "trailing", "ema": True}),
+    ("r4b_ema_trailing", "tb_logs/r4b",
+     {"ddim_spacing": "trailing", "ema": True}),
 ]
 
 
