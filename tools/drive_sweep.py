@@ -43,6 +43,12 @@ ROWS = [
      {"ddim_spacing": "trailing", "ema": True}),
     ("r4b_ema_trailing", "tb_logs/r4b",
      {"ddim_spacing": "trailing", "ema": True}),
+    # the round-5 blend-dataset policy
+    ("r5blend_ema_ddim10", "tb_logs/r5blend", {"ema": True}),
+    ("r5blend_ema_trailing", "tb_logs/r5blend",
+     {"ema": True, "ddim_spacing": "trailing"}),
+    ("r5blend_ema_ddim5_trailing", "tb_logs/r5blend",
+     {"ema": True, "ddim_spacing": "trailing", "num_inference_steps": 5}),
 ]
 
 

@@ -32,6 +32,9 @@ ROWS = [
     ("r4b_raw_ep89", "tb_logs/r4b", {"epoch": 89}),
     ("r4rn_ema", "tb_logs/r4rn", {"ema": True}),
     ("r4rn_raw", "tb_logs/r4rn", {}),
+    ("r5blend_ema", "tb_logs/r5blend", {"ema": True}),
+    ("r5blend_ema_trailing", "tb_logs/r5blend",
+     {"ema": True, "ddim_spacing": "trailing"}),
 ]
 
 
