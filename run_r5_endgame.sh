@@ -5,6 +5,10 @@
 set -e
 cd "$(dirname "$0")"
 mkdir -p results/r5
+# persistent compile cache: per-invocation remote compiles cost 10-15 min
+# through the axon tunnel otherwise (see RESULTS_r5.md)
+export SPDM_BENCH_CACHE=/tmp/jax_bench_cache_r5
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_bench_cache_r5
 
 row () {  # outfile args...
   local out=$1; shift
@@ -19,20 +23,21 @@ row bench_env_render.json --mode env_render --envs 1024
 # ---- closed-loop policy rows (trained ckpt: best driving model) ------------
 POL=${SPDM_ENDGAME_POLICY:-tb_logs/r3h}
 row bench_policy_256_ddim10.json --mode policy --envs 256 --run_dir "$POL" \
-  --gaussian_init
+  --gaussian_init --ddim_spacing trailing
 row bench_policy_256_ddim5.json  --mode policy --envs 256 --run_dir "$POL" \
-  --gaussian_init --num_inference_steps 5
+  --gaussian_init --num_inference_steps 5 --ddim_spacing trailing
 row bench_policy_1024_m1_ddim10.json --mode policy --envs 1024 \
-  --run_dir "$POL" --gaussian_init
+  --run_dir "$POL" --gaussian_init --ddim_spacing trailing
 row bench_policy_1024_m4_ddim10.json --mode policy --envs 1024 \
-  --run_dir "$POL" --gaussian_init --denoise_microbatches 4
+  --run_dir "$POL" --gaussian_init --denoise_microbatches 4 \
+  --ddim_spacing trailing
 # directive 8: DDIM-5 + microbatching combined at 1024 envs (never measured)
 row bench_policy_1024_m4_ddim5.json --mode policy --envs 1024 \
   --run_dir "$POL" --gaussian_init --denoise_microbatches 4 \
-  --num_inference_steps 5
+  --num_inference_steps 5 --ddim_spacing trailing
 row bench_policy_1024_m2_ddim5.json --mode policy --envs 1024 \
   --run_dir "$POL" --gaussian_init --denoise_microbatches 2 \
-  --num_inference_steps 5
+  --num_inference_steps 5 --ddim_spacing trailing
 
 # ---- MFU / train-step table ------------------------------------------------
 [ -f results/r5/mfu_b16.json ] || \
