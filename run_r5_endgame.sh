@@ -21,23 +21,18 @@ row bench_env_only.json   --mode env_only   --envs 1024
 row bench_env_render.json --mode env_render --envs 1024
 
 # ---- closed-loop policy rows (trained ckpt: best driving model) ------------
-POL=${SPDM_ENDGAME_POLICY:-tb_logs/r3h}
-row bench_policy_256_ddim10.json --mode policy --envs 256 --run_dir "$POL" \
-  --gaussian_init --ddim_spacing trailing
-row bench_policy_256_ddim5.json  --mode policy --envs 256 --run_dir "$POL" \
-  --gaussian_init --num_inference_steps 5 --ddim_spacing trailing
-row bench_policy_1024_m1_ddim10.json --mode policy --envs 1024 \
-  --run_dir "$POL" --gaussian_init --ddim_spacing trailing
+POL=${SPDM_ENDGAME_POLICY:-tb_logs/r5blend}
+row bench_policy_256_ddim10.json --mode policy --envs 256 --run_dir "$POL" --ema \
+  --gaussian_init --ddim_spacing trailing --metrics-frames 0
+row bench_policy_256_ddim5.json  --mode policy --envs 256 --run_dir "$POL" --ema \
+  --gaussian_init --num_inference_steps 5 --ddim_spacing trailing --metrics-frames 0
 row bench_policy_1024_m4_ddim10.json --mode policy --envs 1024 \
-  --run_dir "$POL" --gaussian_init --denoise_microbatches 4 \
-  --ddim_spacing trailing
+  --run_dir "$POL" --ema --gaussian_init --denoise_microbatches 4 \
+  --ddim_spacing trailing --metrics-frames 0
 # directive 8: DDIM-5 + microbatching combined at 1024 envs (never measured)
 row bench_policy_1024_m4_ddim5.json --mode policy --envs 1024 \
-  --run_dir "$POL" --gaussian_init --denoise_microbatches 4 \
-  --num_inference_steps 5 --ddim_spacing trailing
-row bench_policy_1024_m2_ddim5.json --mode policy --envs 1024 \
-  --run_dir "$POL" --gaussian_init --denoise_microbatches 2 \
-  --num_inference_steps 5 --ddim_spacing trailing
+  --run_dir "$POL" --ema --gaussian_init --denoise_microbatches 4 \
+  --num_inference_steps 5 --ddim_spacing trailing --metrics-frames 0
 
 # ---- MFU / train-step table ------------------------------------------------
 [ -f results/r5/mfu_b16.json ] || \
