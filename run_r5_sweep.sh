@@ -18,6 +18,15 @@
 #   epoch-90 raw on the shared set.
 #
 # Idempotent: every stage is guarded by its output file.
+#
+# EXECUTION NOTE (how round 5 actually ran): per-process bench/eval
+# invocations each paid 10-15 min of remote compile through the axon
+# tunnel (stats arrays are baked into the jitted programs as constants,
+# so even same-architecture checkpoints with different STATS.pkl miss
+# the persistent cache). The sweep was therefore executed by the
+# IN-PROCESS equivalents — tools/drive_sweep.py + tools/eval_sweep.py —
+# which amortize one compile per (architecture, sampler-config, stats)
+# family. This script remains the reference for WHAT was measured.
 set -e
 cd "$(dirname "$0")"
 mkdir -p results/r5
